@@ -1,0 +1,20 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Mirrors the reference's hardware-gating strategy (SURVEY.md §4): correctness
+never depends on pod access.  Sharding tests run on a virtual 8-device CPU
+mesh; real-TPU performance is measured by bench.py, not the test suite.
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
