@@ -17,4 +17,26 @@ from cuzk_tpu import oracle
 
 __version__ = "0.1.0"
 
-__all__ = ["oracle", "__version__"]
+__all__ = [
+    "oracle",
+    "poseidon",
+    "merkle",
+    "engine",
+    "field",
+    "ops",
+    "parallel",
+    "utils",
+    "native",
+    "bench",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # Lazy submodule access: ``import cuzk_tpu; cuzk_tpu.merkle`` works
+    # without importing jax-heavy modules at package import time.
+    if name in __all__:
+        import importlib
+
+        return importlib.import_module(f"cuzk_tpu.{name}")
+    raise AttributeError(f"module 'cuzk_tpu' has no attribute {name!r}")

@@ -1,0 +1,261 @@
+"""Benchmark suite: Poseidon hash throughput, Merkle builds, proof batches.
+
+Mirrors the reference's harness (SURVEY.md §6):
+- ``poseidon_benchmark`` configs {10K x 512, 100K x 1024, 1M x 4096}
+  (benchmark.cpp:213-235) for single & pair hashing;
+- Merkle 50K-leaf build + 5K-proof batch verification (README.md:18-19);
+- cross-implementation verification gates benchmarking, like
+  ``verify_cuda_implementations_match`` (poseidon_cuda_benchmarks.cpp:137-259).
+
+Timing follows the JAX discipline: compile/warm-up outside the timer,
+``block_until_ready`` inside.  Results print as JSON lines plus a human table.
+
+Usage:
+    python -m cuzk_tpu.bench.run --suite all
+    python -m cuzk_tpu.bench.run --suite poseidon --path pallas --mode pairs
+    python -m cuzk_tpu.bench.run --suite merkle --leaves 50000 --arity 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Callable, Dict, List
+
+import numpy as np
+
+# A100 reference numbers (README.md:131-143, SURVEY.md §6).
+BASELINES = {
+    "poseidon_pairs_hashes_per_s": 2_145_027.0,
+    "poseidon_single_hashes_per_s": 1_751_596.0,
+    "merkle_build_50k_ms": 282.0,
+    "batch_verify_5k_ms": 14.8,
+}
+
+
+def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Median-free simple wall timing: warm-up (compiles), then timed loop.
+    Returns seconds per iteration."""
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
+def _rand_digits(n: int, seed: int) -> np.ndarray:
+    from cuzk_tpu.field import fr
+
+    rng = np.random.default_rng(seed)
+    # Random 256-bit canonical values; hashing reduces them on absorb.
+    return rng.integers(0, 1 << 16, (n, fr.NDIGITS), dtype=np.uint32)
+
+
+def _hash_fns(path: str):
+    if path == "pallas":
+        from cuzk_tpu import ops
+
+        return ops.hash_single_pallas, ops.hash_pair_pallas
+    from cuzk_tpu import poseidon
+
+    return poseidon.hash_single, poseidon.hash_pair
+
+
+def verify_paths_match(batch: int = 256) -> bool:
+    """Gate: jnp and Pallas paths must agree bit-exactly before benchmarking
+    (the reference's cross-implementation verification)."""
+    import jax.numpy as jnp
+
+    from cuzk_tpu import ops, poseidon
+
+    l = jnp.asarray(_rand_digits(batch, 7))
+    r = jnp.asarray(_rand_digits(batch, 8))
+    a = np.asarray(ops.hash_pair_pallas(l, r))
+    b = np.asarray(poseidon.hash_pair(l, r))
+    return bool(np.array_equal(a, b))
+
+
+def bench_poseidon(
+    batch: int, total: int, mode: str = "pairs", path: str = "pallas"
+) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    single_fn, pair_fn = _hash_fns(path)
+    iters = max(1, total // batch)
+    l = jnp.asarray(_rand_digits(batch, 42))
+    r = jnp.asarray(_rand_digits(batch, 43))
+    if mode == "pairs":
+        sec = time_fn(pair_fn, l, r, iters=iters, warmup=2)
+    else:
+        sec = time_fn(single_fn, l, iters=iters, warmup=2)
+    per_hash_ns = sec / batch * 1e9
+    hps = batch / sec
+    key = f"poseidon_{mode}_hashes_per_s"
+    return {
+        "suite": "poseidon",
+        "mode": mode,
+        "path": path,
+        "batch": batch,
+        "total_hashes": iters * batch,
+        "ns_per_hash": round(per_hash_ns, 2),
+        "hashes_per_s": round(hps, 1),
+        "vs_baseline": round(hps / BASELINES[key], 4) if key in BASELINES else None,
+    }
+
+
+def bench_merkle_build(n_leaves: int, arity: int, iters: int = 3) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from cuzk_tpu import merkle
+
+    leaves = jnp.asarray(_rand_digits(n_leaves, 11))
+
+    def build(lv):
+        return merkle.build_tree_levels(lv, arity)[-1]
+
+    sec = time_fn(build, leaves, iters=iters, warmup=1)
+    ms = sec * 1e3
+    out = {
+        "suite": "merkle_build",
+        "leaves": n_leaves,
+        "arity": arity,
+        "build_ms": round(ms, 2),
+        "leaves_per_s": round(n_leaves / sec, 1),
+    }
+    if n_leaves == 50_000:
+        out["vs_baseline"] = round(BASELINES["merkle_build_50k_ms"] / ms, 4)
+    return out
+
+
+def bench_batch_verify(
+    n_proofs: int, n_leaves: int, arity: int, iters: int = 3
+) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from cuzk_tpu import merkle
+
+    leaves = jnp.asarray(_rand_digits(n_leaves, 13))
+    tree = merkle.NaryMerkleTree(leaves, merkle.MerkleConfig(arity))
+    idx = np.arange(n_proofs) % n_leaves
+    pos, sib = tree.generate_batch_proofs(idx)
+    proved = tree.levels[0][jnp.asarray(idx)]
+    root = tree.get_root_hash()
+
+    def verify(p, s, lv, rt):
+        return merkle.verify_proofs(p, s, lv, rt, arity)
+
+    sec = time_fn(verify, pos, sib, proved, root, iters=iters, warmup=1)
+    ms = sec * 1e3
+    out = {
+        "suite": "batch_verify",
+        "proofs": n_proofs,
+        "arity": arity,
+        "verify_ms": round(ms, 2),
+        "proofs_per_s": round(n_proofs / sec, 1),
+    }
+    if n_proofs == 5_000:
+        out["vs_baseline"] = round(BASELINES["batch_verify_5k_ms"] / ms, 4)
+    return out
+
+
+def bench_sharded_build(
+    n_leaves: int, arity: int, n_devices: int = None, iters: int = 3
+) -> Dict:
+    """Sharded tree build over the device mesh (the north-star workload:
+    leaves sharded, per-level collectives — no reference analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuzk_tpu.parallel import distributed
+
+    mesh = distributed.make_mesh(n_devices)
+    d = mesh.shape[distributed.DATA_AXIS]
+    leaves = jnp.asarray(_rand_digits(n_leaves, 17))
+
+    def build(lv):
+        return distributed.sharded_merkle_root(lv, arity, mesh)
+
+    sec = time_fn(build, leaves, iters=iters, warmup=1)
+    return {
+        "suite": "sharded_build",
+        "leaves": n_leaves,
+        "arity": arity,
+        "devices": d,
+        "build_ms": round(sec * 1e3, 2),
+        "leaves_per_s": round(n_leaves / sec, 1),
+    }
+
+
+# Reference poseidon_benchmark configs (benchmark.cpp:213-235).
+POSEIDON_CONFIGS = [
+    (512, 10_000, "Small Scale"),
+    (1024, 100_000, "Medium Scale"),
+    (4096, 1_000_000, "Large Scale"),
+]
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--suite",
+        default="all",
+        choices=["all", "poseidon", "merkle", "proofs", "scaling"],
+    )
+    parser.add_argument("--devices", type=int, default=None)
+    parser.add_argument("--path", default="pallas", choices=["pallas", "jnp"])
+    parser.add_argument("--mode", default="both", choices=["both", "pairs", "single"])
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--total", type=int, default=None)
+    parser.add_argument("--leaves", type=int, default=50_000)
+    parser.add_argument("--arity", type=int, default=4)
+    parser.add_argument("--proofs", type=int, default=5_000)
+    parser.add_argument("--skip-verify", action="store_true")
+    args = parser.parse_args()
+
+    results: List[Dict] = []
+    if not args.skip_verify and args.suite in ("all", "poseidon"):
+        ok = verify_paths_match()
+        print(json.dumps({"suite": "verify_paths_match", "ok": ok}))
+        if not ok:
+            raise SystemExit("jnp and Pallas paths disagree; aborting benchmarks")
+
+    if args.suite in ("all", "poseidon"):
+        modes = ["pairs", "single"] if args.mode == "both" else [args.mode]
+        if args.batch:
+            configs = [(args.batch, args.total or args.batch * 100, "Custom")]
+        else:
+            configs = POSEIDON_CONFIGS
+        for batch, total, label in configs:
+            for mode in modes:
+                res = bench_poseidon(batch, total, mode, args.path)
+                res["label"] = label
+                results.append(res)
+                print(json.dumps(res))
+
+    if args.suite in ("all", "merkle"):
+        res = bench_merkle_build(args.leaves, args.arity)
+        results.append(res)
+        print(json.dumps(res))
+
+    if args.suite in ("all", "proofs"):
+        res = bench_batch_verify(args.proofs, args.leaves, args.arity)
+        results.append(res)
+        print(json.dumps(res))
+
+    if args.suite == "scaling":
+        res = bench_sharded_build(args.leaves, args.arity, args.devices)
+        results.append(res)
+        print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

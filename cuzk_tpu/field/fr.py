@@ -11,8 +11,13 @@ Every function here is a pure, batch-vectorized jnp program that reproduces
 ``cuzk_tpu.oracle`` bit-for-bit, including the deliberate reference quirks
 (wrap-at-2^256 adds, truncated k-fold reduction — SURVEY.md Appendix A).
 Data-dependent branches of the C++ code (``if (high == 0)``, ``while (a >= p)``)
-are made branchless with digit-wise borrow chains and selects, so everything
-compiles to static-shape XLA.
+are made branchless with selects, and carry/borrow propagation is done with
+Kogge-Stone generate/propagate scans along the digit axis (log-depth vector
+ops instead of a 16/32-step ripple chain): graphs are ~10x smaller than the
+naive per-digit formulation, which matters both for XLA compile time and for
+VPU utilization at small batch sizes.  Schoolbook partial-product columns are
+accumulated with ONE dot against a constant 0/1 spreading matrix (exact in
+u32: <=32 terms of <2^16 each).
 
 This module is the *reference path*; the Pallas kernels in ``cuzk_tpu.ops``
 are the accelerated path and are tested differentially against it (the same
@@ -74,47 +79,70 @@ ONE_DIGITS = int_to_digits(1)
 TWO_DIGITS = int_to_digits(2)
 
 
-def _carry(cols: jnp.ndarray, ndigits: int) -> jnp.ndarray:
-    """Sequential carry pass: columns (< 2^32 - 2^16 each) -> canonical 16-bit
-    digits, dropping any carry out of the top digit (the 2^256 / 2^512 wrap
-    of the reference, field_arithmetic.cpp:172-182)."""
-    out = []
-    c = jnp.zeros_like(cols[..., 0])
-    for i in range(ndigits):
-        t = cols[..., i] + c
-        out.append(t & DIGIT_MASK)
-        c = t >> DIGIT_BITS
-    return jnp.stack(out, axis=-1)
+def _shift_up(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Shift digits toward higher significance by k places, zero-filled,
+    same length (drops the top k digits — the 2^(16n) wrap)."""
+    nd = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
+    return jnp.pad(x, pad)[..., :nd]
 
 
-def _carry_keep(cols: jnp.ndarray, ndigits: int):
-    """Like :func:`_carry` but also returns the final carry digit."""
-    out = []
-    c = jnp.zeros_like(cols[..., 0])
-    for i in range(ndigits):
-        t = cols[..., i] + c
-        out.append(t & DIGIT_MASK)
-        c = t >> DIGIT_BITS
-    return jnp.stack(out, axis=-1), c
+def _ks_carry(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Kogge-Stone inclusive scan of the carry operator.
+
+    g[i]: digit i generates a carry/borrow out; p[i]: digit i propagates an
+    incoming one.  Returns G*[i] = carry OUT of digit i assuming zero carry
+    into digit 0 (log2(n) steps of whole-array vector ops).
+    """
+    nd = g.shape[-1]
+    shift = 1
+    while shift < nd:
+        g = g | (p & _shift_up(g, shift))
+        p = p & _shift_up(p, shift)
+        shift *= 2
+    return g
+
+
+def _carry(cols: jnp.ndarray) -> jnp.ndarray:
+    """Canonicalize u32 columns (any values < 2^32) into 16-bit digits,
+    dropping the carry out of the top digit — the 2^256 / 2^512 wrap of the
+    reference (field_arithmetic.cpp:172-182)."""
+    return _carry_keep(cols)[0]
+
+
+def _carry_keep(cols: jnp.ndarray):
+    """Like :func:`_carry` but also returns the dropped carry-out digit.
+
+    Two ripple passes squeeze every digit to <= 2^16, then one Kogge-Stone
+    scan resolves the remaining +/-1 carry cascade exactly.
+    """
+    x = (cols & DIGIT_MASK) + _shift_up(cols >> DIGIT_BITS, 1)
+    ca = cols[..., -1] >> DIGIT_BITS
+    cb = x[..., -1] >> DIGIT_BITS
+    x = (x & DIGIT_MASK) + _shift_up(x >> DIGIT_BITS, 1)
+    # now every digit <= 2^16
+    g = (x >> DIGIT_BITS).astype(jnp.uint32)
+    p = ((x & DIGIT_MASK) == DIGIT_MASK).astype(jnp.uint32)
+    gstar = _ks_carry(g, p)
+    out = (x + _shift_up(gstar, 1)) & DIGIT_MASK
+    return out, ca + cb + gstar[..., -1]
 
 
 def _sub_digits(a: jnp.ndarray, b: jnp.ndarray):
-    """Digit-wise (a - b) mod 2^(16n) with borrow chain.
+    """Digit-wise (a - b) mod 2^(16n) with borrow resolution.
 
     Returns (difference, borrow) where borrow == 1 iff a < b.  Matches the
     reference's borrow-subtract with dropped final borrow
     (field_arithmetic.cpp:203-219).
     """
     a, b = jnp.broadcast_arrays(a, b)
-    n = a.shape[-1]
-    out = []
-    borrow = jnp.zeros_like(a[..., 0])
+    g = (a < b).astype(jnp.uint32)  # digit generates a borrow
+    p = (a == b).astype(jnp.uint32)  # digit propagates an incoming borrow
+    borrow_out = _ks_carry(g, p)
+    borrow_in = _shift_up(borrow_out, 1)
     base = jnp.uint32(1 << DIGIT_BITS)
-    for i in range(n):
-        t = a[..., i] + base - b[..., i] - borrow
-        out.append(t & DIGIT_MASK)
-        borrow = jnp.uint32(1) - (t >> DIGIT_BITS)
-    return jnp.stack(out, axis=-1), borrow
+    out = (a + base - b - borrow_in) & DIGIT_MASK
+    return out, borrow_out[..., -1]
 
 
 def geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -123,7 +151,7 @@ def geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return borrow == 0
 
 
-def _cond_sub(a: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
+def _cond_sub(a: jnp.ndarray, m) -> jnp.ndarray:
     """a - m if a >= m else a (one step of the subtractive reduce)."""
     diff, borrow = _sub_digits(a, jnp.asarray(m))
     return jnp.where((borrow == 0)[..., None], diff, a)
@@ -145,7 +173,7 @@ def red(a: jnp.ndarray) -> jnp.ndarray:
 def wrap_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a + b) mod 2^256 — the reference's carry-dropping limb add."""
     a, b = jnp.broadcast_arrays(a, b)
-    return _carry(a + b, NDIGITS)
+    return _carry(a + b)
 
 
 def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -159,7 +187,7 @@ def add_rr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     wraps and needs a single conditional subtract.  Bit-identical to
     :func:`add` in this regime; used on the permutation hot path."""
     a, b = jnp.broadcast_arrays(a, b)
-    return _cond_sub(_carry(a + b, NDIGITS), P_DIGITS)
+    return _cond_sub(_carry(a + b), P_DIGITS)
 
 
 def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -168,48 +196,55 @@ def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     the final borrow are dropped, matching the limb code exactly."""
     a, b = jnp.broadcast_arrays(a, b)
     _, borrow = _sub_digits(a, b)
-    a_plus_p = _carry(a + jnp.asarray(P_DIGITS), NDIGITS)
+    a_plus_p = _carry(a + jnp.asarray(P_DIGITS))
     t = jnp.where((borrow == 1)[..., None], a_plus_p, a)
     diff, _ = _sub_digits(t, b)
     return diff
 
 
-def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Exact 512-bit schoolbook product as 32 canonical digits
-    (field_arithmetic.cpp:221-238).
-
-    Each 16x16-bit digit product fits u32; products are split into lo/hi
-    halves and accumulated per column (max 32 terms < 2^16 each, so columns
-    stay < 2^21 — no overflow before the carry pass).
-    """
-    a, b = jnp.broadcast_arrays(a, b)
+def _schoolbook_cols(a: jnp.ndarray, b: jnp.ndarray, n_out: int):
+    """Partial-product column sums: lo[i,j] lands in column i+j, hi[i,j] in
+    column i+j+1, accumulated via statically-padded row adds (exact in u32:
+    <=32 terms of <2^16 each per column keeps sums < 2^21)."""
     prod = a[..., :, None] * b[..., None, :]  # [..., 16, 16], exact in u32
     lo = prod & DIGIT_MASK
     hi = prod >> DIGIT_BITS
-    cols = jnp.zeros(a.shape[:-1] + (NDIGITS_WIDE,), jnp.uint32)
+    nb = a.ndim - 1
+    rows = []
     for i in range(NDIGITS):
-        cols = cols.at[..., i : i + NDIGITS].add(lo[..., i, :])
-        cols = cols.at[..., i + 1 : i + 1 + NDIGITS].add(hi[..., i, :])
-    return _carry(cols, NDIGITS_WIDE)
+        lo_w = min(NDIGITS, n_out - i)
+        if lo_w > 0:
+            rows.append(
+                jnp.pad(
+                    lo[..., i, :lo_w], [(0, 0)] * nb + [(i, n_out - i - lo_w)]
+                )
+            )
+        hi_w = min(NDIGITS, n_out - i - 1)
+        if hi_w > 0:
+            rows.append(
+                jnp.pad(
+                    hi[..., i, :hi_w],
+                    [(0, 0)] * nb + [(i + 1, n_out - i - 1 - hi_w)],
+                )
+            )
+    return sum(rows[1:], rows[0])
+
+
+def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact 512-bit schoolbook product as 32 canonical digits
+    (field_arithmetic.cpp:221-238)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    return _carry(_schoolbook_cols(a, b, NDIGITS_WIDE))
 
 
 def mul_low(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Low 256 bits of the exact product: ``(a*b) & (2^256-1)``.
 
-    Only digit products with i+j <= 15 can influence the low half; the carry
-    out of digit 15 is discarded (the truncation in
-    field_arithmetic.cpp:318-322).
+    Only digit products with i+j <= 15 influence the low half; the carry out
+    of digit 15 is discarded (the truncation in field_arithmetic.cpp:318-322).
     """
     a, b = jnp.broadcast_arrays(a, b)
-    prod = a[..., :, None] * b[..., None, :]
-    lo = prod & DIGIT_MASK
-    hi = prod >> DIGIT_BITS
-    cols = jnp.zeros(a.shape[:-1] + (NDIGITS,), jnp.uint32)
-    for i in range(NDIGITS):
-        cols = cols.at[..., i:].add(lo[..., i, : NDIGITS - i])
-        if i + 1 < NDIGITS:
-            cols = cols.at[..., i + 1 :].add(hi[..., i, : NDIGITS - i - 1])
-    return _carry(cols, NDIGITS)
+    return _carry(_schoolbook_cols(a, b, NDIGITS))
 
 
 def reduce_wide(prod: jnp.ndarray) -> jnp.ndarray:
@@ -221,7 +256,6 @@ def reduce_wide(prod: jnp.ndarray) -> jnp.ndarray:
     """
     low = prod[..., :NDIGITS]
     high = prod[..., NDIGITS:]
-    high_zero = jnp.all(high == 0, axis=-1)
 
     m = mul_wide(high, jnp.asarray(K_DIGITS))
     hc = m[..., :NDIGITS]
@@ -230,8 +264,10 @@ def reduce_wide(prod: jnp.ndarray) -> jnp.ndarray:
 
     mhk_low = mul_low(mh, jnp.asarray(K_DIGITS))  # (mh*k) & M — high part dropped
     hc = jnp.where(mh_zero[..., None], hc, add(hc, mhk_low))
-    nonzero_result = add(low, hc)
-    return jnp.where(high_zero[..., None], red(low), nonzero_result)
+    # The oracle's high == 0 early-out needs no select: high == 0 gives
+    # hc == 0 and add(low, 0) == red(low), bit-identical.  (The mh select IS
+    # load-bearing: hc stays unreduced there.)
+    return add(low, hc)
 
 
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -260,17 +296,16 @@ def mul_small(a: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     {4..26} on the permutation hot path (SURVEY.md §7 hard part #2).
     """
     c = jnp.asarray(c, jnp.uint32)
-    low, high = _carry_keep(a * c[..., None], NDIGITS)  # prod = low + high*2^256
-    high_zero = high == 0
+    low, high = _carry_keep(a * c[..., None])  # prod = low + high*2^256
 
     k = jnp.asarray(K_DIGITS)
-    m_low, mh = _carry_keep(k * high[..., None], NDIGITS)  # m = high*k, 17 digits
+    m_low, mh = _carry_keep(k * high[..., None])  # m = high*k, 17 digits
     mh_zero = mh == 0
 
-    mhk_low, _ = _carry_keep(k * mh[..., None], NDIGITS)  # (mh*k) & M
+    mhk_low, _ = _carry_keep(k * mh[..., None])  # (mh*k) & M
     hc = jnp.where(mh_zero[..., None], m_low, add(m_low, mhk_low))
-    nonzero_result = add(low, hc)
-    return jnp.where(high_zero[..., None], red(low), nonzero_result)
+    # high == 0 => hc == 0 => add(low, 0) == red(low): no select needed.
+    return add(low, hc)
 
 
 def is_zero(a: jnp.ndarray) -> jnp.ndarray:
@@ -282,9 +317,8 @@ def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == b, axis=-1)
 
 
-# Jit the public entry points: each op is a few hundred to a few thousand XLA
-# primitives per trace (digit-level carry chains), so eager per-op dispatch is
-# pathologically slow.  Compiled once per shape, they fuse into tight VPU code.
+# Jit the public entry points: compiled once per shape, they fuse into tight
+# VPU code; eager per-op dispatch of digit-level programs would be slow.
 add = jax.jit(add)
 add_rr = jax.jit(add_rr)
 sub = jax.jit(sub)

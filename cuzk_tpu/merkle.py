@@ -1,0 +1,443 @@
+"""N-ary (2-8) Merkle trees on Poseidon, TPU-first.
+
+Re-design of the reference's two tree implementations
+(/root/reference/src/merkle_tree/merkle_tree.cpp — CPU pointer tree;
+merkle_tree_cuda.cu — CUDA flat levels with one malloc/H2D/launch/sync/D2H
+round-trip *per level*, :159-259).  Here the whole bottom-up level loop is
+traced into ONE jitted XLA program over static shapes: level ``l`` is a
+``[padded/arity^l, 16]`` digit array, each level is a single batched
+``hash_multiple`` over ``[m/a, a, 16]`` groups, and no host boundary is
+crossed until the final root fetch — the reference's main structural
+inefficiency removed (SURVEY.md §3.3).
+
+Semantics are bit-exact vs ``cuzk_tpu.oracle`` (merkle_tree.cpp:44-100):
+- leaves padded to the next power of arity with ``empty_hash(arity) =
+  hash_multiple([0]*arity)`` (merkle_tree.cpp:347-357), precomputed once per
+  arity (the reference's CUDA kernel recomputes it per padded verify thread,
+  merkle_tree_cuda.cu:34-42 — SURVEY.md Appendix B.8);
+- proofs are per-level (position, arity-1 siblings) in leaf->root order
+  (merkle_tree.cpp:130-211);
+- verification recomputes the root (merkle_tree.cpp:214-254); the batch
+  verifier vectorizes all proofs at once (the analog of
+  ``batch_verify_proofs_kernel``, merkle_tree_cuda.cu:67-118, without the
+  CSR flattening — proofs are a dense ``[k, h, a-1, 16]`` tensor).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cuzk_tpu import oracle, poseidon
+from cuzk_tpu.field import fr
+
+MIN_ARITY = oracle.MIN_ARITY
+MAX_ARITY = oracle.MAX_ARITY
+
+
+def _engine_hash_multiple(groups: jnp.ndarray) -> jnp.ndarray:
+    """The hash engine for tree building/verification: the fused Pallas
+    kernel on TPU, the jnp reference path elsewhere — bit-identical either
+    way (differentially tested in tests/test_pallas.py)."""
+    import jax
+
+    if jax.default_backend() in ("tpu", "axon"):
+        from cuzk_tpu.ops import hash_multiple_pallas
+
+        return hash_multiple_pallas(groups)
+    return poseidon.hash_multiple(groups)
+# merkle_tree.hpp:20 — default config height bound (informational only here;
+# the TPU build derives height from the leaf count exactly).
+DEFAULT_TREE_HEIGHT = 20
+
+
+@dataclass(frozen=True)
+class MerkleConfig:
+    """Runtime-validated tree config (merkle_tree.hpp:17-32)."""
+
+    arity: int = 2
+
+    def __post_init__(self):
+        if not MIN_ARITY <= self.arity <= MAX_ARITY:
+            raise ValueError(
+                f"arity must be in [{MIN_ARITY}, {MAX_ARITY}], got {self.arity}"
+            )
+
+
+@functools.lru_cache(maxsize=None)
+def empty_hash_int(arity: int) -> int:
+    """hash_multiple(arity zeros), cached per arity (merkle_tree.cpp:347-357)."""
+    return oracle.empty_hash(arity)
+
+
+@functools.lru_cache(maxsize=None)
+def _empty_hash_digits(arity: int) -> tuple:
+    return tuple(int(v) for v in fr.int_to_digits(empty_hash_int(arity)))
+
+
+def padded_leaf_count(n: int, arity: int) -> int:
+    """Next power of arity >= n, minimum 1 (merkle_tree.cpp:49-53)."""
+    return oracle.padded_leaf_count(n, arity)
+
+
+def tree_height(leaf_count: int, arity: int) -> int:
+    """Levels incl. leaves; exact integer arithmetic (vs the reference's FP
+    logs, merkle_tree.cpp:359-367 — SURVEY.md Appendix B.9)."""
+    return oracle.tree_height(leaf_count, arity)
+
+
+def _build_levels(padded_leaves: jnp.ndarray, arity: int):
+    """All tree levels from ``[m, 16]`` padded leaves (m a power of arity).
+
+    The loop is host-driven over DEVICE-RESIDENT arrays: each level is one
+    jitted batched ``hash_multiple`` dispatch (no transfers — contrast the
+    reference's per-level malloc/H2D/D2H round-trip, merkle_tree_cuda.cu:
+    159-259).  Group counts are padded to powers of two so every level of
+    every tree size reuses one of a log-bounded set of compiled executables
+    (power-of-two arities pad by zero rows).
+    """
+    levels = [padded_leaves]
+    level = padded_leaves
+    while level.shape[0] > 1:
+        g = level.shape[0] // arity
+        gp = 1 << (g - 1).bit_length()
+        work = level
+        if gp > g:
+            work = jnp.concatenate(
+                [level, jnp.zeros(((gp - g) * arity, fr.NDIGITS), jnp.uint32)],
+                axis=0,
+            )
+        hashed = _engine_hash_multiple(work.reshape(gp, arity, fr.NDIGITS))
+        level = hashed[:g]
+        levels.append(level)
+    return tuple(levels)
+
+
+def build_tree_levels(leaves, arity: int = 2) -> List[jnp.ndarray]:
+    """Build all levels bottom-up. ``leaves``: ``[n, 16] uint32`` (or anything
+    ``jnp.asarray`` accepts). Returns [level0 .. root], level0 = padded
+    leaves. Empty input returns [] (reference leaves root_ null,
+    merkle_tree.cpp:29-42)."""
+    MerkleConfig(arity)  # validate
+    leaves = jnp.asarray(leaves, jnp.uint32)
+    n = leaves.shape[0]
+    if n == 0:
+        return []
+    padded = padded_leaf_count(n, arity)
+    if padded > n:
+        e = jnp.asarray(np.array(_empty_hash_digits(arity), np.uint32))
+        pad = jnp.broadcast_to(e, (padded - n, fr.NDIGITS))
+        leaves = jnp.concatenate([leaves, pad], axis=0)
+    return list(_build_levels(leaves, arity))
+
+
+def merkle_root(leaves, arity: int = 2) -> jnp.ndarray:
+    """Root digits ``[16]``; empty input => empty_hash(arity)
+    (merkle_tree.cpp:338-343)."""
+    levels = build_tree_levels(leaves, arity)
+    if not levels:
+        return jnp.asarray(np.array(_empty_hash_digits(arity), np.uint32))
+    return levels[-1][0]
+
+
+# ---------------------------------------------------------------------------
+# Proof generation — pure index arithmetic (merkle_tree_cuda.cu:261-292),
+# vectorized over a batch of leaf indices.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _gather_proofs(arity: int, leaf_indices: jnp.ndarray, *levels):
+    """For each queried leaf: per level, its position in the arity-group and
+    the arity-1 sibling hashes. Returns (positions [k, h], siblings
+    [k, h, arity-1, 16])."""
+    idx = leaf_indices.astype(jnp.int32)
+    positions, siblings = [], []
+    for level in levels[:-1]:  # root level contributes nothing
+        pos = idx % arity
+        group_start = (idx // arity) * arity
+        child_ids = group_start[:, None] + jnp.arange(arity, dtype=jnp.int32)
+        children = level[child_ids]  # [k, arity, 16]
+        # sibling j skips the proved position: child index j + (j >= pos)
+        j = jnp.arange(arity - 1, dtype=jnp.int32)
+        sib_child = j[None, :] + (j[None, :] >= pos[:, None]).astype(jnp.int32)
+        sibs = jnp.take_along_axis(children, sib_child[..., None], axis=1)
+        positions.append(pos)
+        siblings.append(sibs)
+        idx = idx // arity
+    return (
+        jnp.stack(positions, axis=1),
+        jnp.stack(siblings, axis=1),
+    )
+
+
+def generate_proofs(
+    levels: Sequence[jnp.ndarray], arity: int, leaf_indices
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch Merkle proofs, leaf->root order (merkle_tree.cpp:113-211).
+
+    Returns (positions ``[k, h-1] int32``, siblings ``[k, h-1, a-1, 16]``).
+    """
+    if not levels:
+        raise IndexError("empty tree")
+    leaf_indices = jnp.atleast_1d(jnp.asarray(leaf_indices, jnp.int32))
+    n = int(levels[0].shape[0])
+    bad = [int(i) for i in np.asarray(leaf_indices) if not 0 <= int(i) < n]
+    if bad:
+        raise IndexError(f"leaf index out of range: {bad[0]} (size {n})")
+    if len(levels) == 1:
+        k = leaf_indices.shape[0]
+        return (
+            jnp.zeros((k, 0), jnp.int32),
+            jnp.zeros((k, 0, arity - 1, fr.NDIGITS), jnp.uint32),
+        )
+    return _gather_proofs(arity, leaf_indices, *levels)
+
+
+def generate_proof(levels, arity, leaf_index: int):
+    """Single proof: (positions [h-1], siblings [h-1, a-1, 16])."""
+    pos, sib = generate_proofs(levels, arity, [leaf_index])
+    return pos[0], sib[0]
+
+
+# ---------------------------------------------------------------------------
+# Verification — vmapped root recomputation (the analog of
+# batch_verify_proofs_kernel, merkle_tree_cuda.cu:67-118).
+# ---------------------------------------------------------------------------
+
+def _verify_batch(arity, positions, siblings, leaves, root):
+    """All k proofs verified together, level-by-level: each level builds the
+    [k, arity, 16] child groups (current node inserted at its position,
+    siblings around it — merkle_tree.cpp:224-253) and runs ONE batched hash.
+    The whole-batch analog of batch_verify_proofs_kernel
+    (merkle_tree_cuda.cu:67-118) without the CSR flattening."""
+    current = leaves  # [k, 16]
+    h = positions.shape[1]
+    for lvl in range(h):
+        pos = positions[:, lvl]  # [k]
+        sibs = siblings[:, lvl]  # [k, arity-1, 16]
+        slots = []
+        for i in range(arity):
+            below = sibs[:, min(i, arity - 2)]
+            above = sibs[:, max(i - 1, 0)]
+            cand = jnp.where((jnp.int32(i) > pos)[:, None], above, below)
+            slots.append(jnp.where((jnp.int32(i) == pos)[:, None], current, cand))
+        group = jnp.stack(slots, axis=1)  # [k, arity, 16]
+        current = _engine_hash_multiple(group)
+    return jnp.all(current == root[None, :], axis=-1)
+
+
+def verify_proofs(
+    positions, siblings, leaves, root, arity: int
+) -> jnp.ndarray:
+    """Per-proof validity ``[k] bool``. ``positions [k,h]``, ``siblings
+    [k,h,a-1,16]``, ``leaves [k,16]``, ``root [16]``."""
+    positions = jnp.asarray(positions, jnp.int32)
+    siblings = jnp.asarray(siblings, jnp.uint32)
+    leaves = jnp.asarray(leaves, jnp.uint32)
+    root = jnp.asarray(root, jnp.uint32)
+    return _verify_batch(arity, positions, siblings, leaves, root)
+
+
+def verify_proof(positions, siblings, leaf, root, arity: int) -> bool:
+    """Single-proof verification (merkle_tree.cpp:214-254)."""
+    ok = verify_proofs(
+        positions[None], siblings[None], jnp.asarray(leaf)[None], root, arity
+    )
+    return bool(ok[0])
+
+
+def verify_all(positions, siblings, leaves, root, arity: int) -> bool:
+    """All-or-nothing batch verification — the reference's return convention
+    (merkle_tree_cuda.cu:464)."""
+    return bool(jnp.all(verify_proofs(positions, siblings, leaves, root, arity)))
+
+
+# ---------------------------------------------------------------------------
+# Object-style wrapper for API parity with NaryMerkleTree
+# (merkle_tree.hpp:54-110).
+# ---------------------------------------------------------------------------
+
+class NaryMerkleTree:
+    """Functional-core OO wrapper: holds the level arrays and config."""
+
+    def __init__(self, leaves=None, config: MerkleConfig = MerkleConfig()):
+        self.config = config
+        self._levels: List[jnp.ndarray] = []
+        self._num_leaves = 0
+        if leaves is not None:
+            self.build_tree(leaves)
+
+    def build_tree(self, leaves) -> bool:
+        leaves = jnp.asarray(leaves, jnp.uint32)
+        self._num_leaves = int(leaves.shape[0])
+        self._levels = build_tree_levels(leaves, self.config.arity)
+        return bool(self._levels)
+
+    @property
+    def levels(self) -> List[jnp.ndarray]:
+        return self._levels
+
+    def get_root_hash(self) -> jnp.ndarray:
+        if not self._levels:
+            raise ValueError("tree is empty")
+        return self._levels[-1][0]
+
+    def root_int(self) -> int:
+        return fr.array_to_ints(self.get_root_hash()[None, :])[0]
+
+    def get_tree_height(self) -> int:
+        return len(self._levels)
+
+    def get_leaf_count(self) -> int:
+        return self._num_leaves
+
+    def generate_proof(self, leaf_index: int):
+        return generate_proof(self._levels, self.config.arity, leaf_index)
+
+    def generate_batch_proofs(self, leaf_indices):
+        return generate_proofs(self._levels, self.config.arity, leaf_indices)
+
+    def verify_proof(self, positions, siblings, leaf) -> bool:
+        return verify_proof(
+            positions, siblings, leaf, self.get_root_hash(), self.config.arity
+        )
+
+    def verify_batch_proofs(self, positions, siblings, leaves) -> bool:
+        return verify_all(
+            positions, siblings, leaves, self.get_root_hash(), self.config.arity
+        )
+
+    def update_leaf(self, index: int, value) -> bool:
+        """Full rebuild, like the reference (merkle_tree.cpp:290-301)."""
+        if not self._levels or not 0 <= index < self._num_leaves:
+            return False
+        leaves = self._levels[0][: self._num_leaves].at[index].set(
+            jnp.asarray(value, jnp.uint32)
+        )
+        return self.build_tree(leaves)
+
+    def insert_leaf(self, value) -> bool:
+        """Append + full rebuild (merkle_tree.cpp:290-295)."""
+        new = jnp.asarray(value, jnp.uint32)[None, :]
+        if self._levels:
+            leaves = jnp.concatenate(
+                [self._levels[0][: self._num_leaves], new], axis=0
+            )
+        else:
+            leaves = new
+        return self.build_tree(leaves)
+
+
+def optimal_arity(leaf_count: int) -> int:
+    """Arity heuristic matching CudaMerkleUtils::get_optimal_config_for_gpu
+    (merkle_tree_cuda.cu:589-601): 2 below 1K leaves, 4 mid, 8 above 100K."""
+    if leaf_count < 1_000:
+        return 2
+    if leaf_count <= 100_000:
+        return 4
+    return 8
+
+
+def generate_test_leaves(count: int, seed: int = 42) -> np.ndarray:
+    """Deterministic mt19937_64 leaves as digit arrays
+    (merkle_tree.cpp:443-457)."""
+    return fr.ints_to_array(oracle.generate_test_leaves(count, seed))
+
+
+# ---------------------------------------------------------------------------
+# MerkleUtils parity (merkle_tree.hpp:113-136)
+# ---------------------------------------------------------------------------
+
+def validate_proof_structure(positions, siblings, arity: int) -> bool:
+    """Structural proof check (MerkleUtils::validate_proof,
+    merkle_tree.cpp:374-393): matching level counts, positions in range,
+    arity-1 siblings per level."""
+    positions = np.asarray(positions)
+    siblings = np.asarray(siblings)
+    if positions.ndim != 1 or siblings.ndim != 3:
+        return False
+    if positions.shape[0] != siblings.shape[0]:
+        return False
+    if siblings.shape[1] != arity - 1 or siblings.shape[2] != fr.NDIGITS:
+        return False
+    return bool(np.all((positions >= 0) & (positions < arity)))
+
+
+def compare_trees(a: "NaryMerkleTree", b: "NaryMerkleTree") -> bool:
+    """Root/height/leaf-count equality (MerkleUtils::compare_trees,
+    merkle_tree.cpp:395-412)."""
+    if not a.levels or not b.levels:
+        return bool(a.levels) == bool(b.levels)
+    return (
+        a.get_tree_height() == b.get_tree_height()
+        and a.get_leaf_count() == b.get_leaf_count()
+        and bool(jnp.all(a.get_root_hash() == b.get_root_hash()))
+    )
+
+
+def print_tree(tree: "NaryMerkleTree", max_nodes_per_level: int = 8) -> str:
+    """Level-by-level render (NaryMerkleTree::print_tree,
+    merkle_tree.cpp:319-344).  Returns the string (and prints it)."""
+    lines = []
+    if not tree.levels:
+        lines.append("(empty tree)")
+    else:
+        for lvl in range(len(tree.levels) - 1, -1, -1):
+            vals = fr.array_to_ints(tree.levels[lvl][:max_nodes_per_level])
+            shown = ", ".join(f"0x{v:016x}"[:18] for v in vals)
+            extra = tree.levels[lvl].shape[0] - len(vals)
+            suffix = f" ... (+{extra})" if extra > 0 else ""
+            name = "root" if lvl == len(tree.levels) - 1 else f"level {lvl}"
+            lines.append(f"{name}: [{shown}]{suffix}")
+    out = "\n".join(lines)
+    print(out)
+    return out
+
+
+def build_batch_trees(
+    leaf_sets, arity: int = 2
+) -> List["NaryMerkleTree"]:
+    """Build many trees.  Equal-size sets are built as ONE fused batched
+    program (levels carry a tree axis) — the reference loops sequentially
+    (merkle_tree_cuda.cu:467-482); mixed sizes fall back to per-tree builds.
+    """
+    sizes = {int(np.asarray(ls).shape[0]) for ls in leaf_sets}
+    if len(sizes) == 1 and sizes != {0}:
+        n = sizes.pop()
+        k = len(leaf_sets)
+        stacked = jnp.stack([jnp.asarray(ls, jnp.uint32) for ls in leaf_sets])
+        padded = padded_leaf_count(n, arity)
+        if padded > n:
+            e = jnp.asarray(np.array(_empty_hash_digits(arity), np.uint32))
+            pad = jnp.broadcast_to(e, (k, padded - n, fr.NDIGITS))
+            stacked = jnp.concatenate([stacked, pad], axis=1)
+        # level loop over [k * m, 16] with trees side by side: group
+        # boundaries never cross trees because m is a power of arity.
+        level = stacked.reshape(k * padded, fr.NDIGITS)
+        levels = [level]
+        m = padded
+        while m > 1:
+            g = m // arity
+            hashed = _engine_hash_multiple(
+                level.reshape(k * g, arity, fr.NDIGITS)
+            )
+            level = hashed
+            levels.append(level)
+            m = g
+        trees = []
+        for t in range(k):
+            tree = NaryMerkleTree(config=MerkleConfig(arity))
+            tree._num_leaves = n
+            tree._levels = [
+                lv.reshape(k, -1, fr.NDIGITS)[t] for lv in levels
+            ]
+            trees.append(tree)
+        return trees
+    return [
+        NaryMerkleTree(ls, MerkleConfig(arity)) for ls in leaf_sets
+    ]

@@ -1,0 +1,213 @@
+"""Sharded hashing and Merkle builds over a device mesh.
+
+The reference has no distributed dimension at all — its only parallelism is
+one CUDA thread per element (SURVEY.md §2.2) and "batch trees" is a host
+for-loop (merkle_tree_cuda.cu:467-482).  This module lifts that batching to
+the pod level, TPU-first:
+
+- **Data-parallel hashing**: hash batches sharded over the mesh's ``data``
+  axis via ``NamedSharding`` + jit — XLA runs each shard's fused permutation
+  locally, no collectives.
+- **Sharded tree build**: leaves live sharded; each device builds its
+  contiguous subtree bottom-up while group boundaries stay local (local
+  level size divisible by arity), then ONE ``lax.all_gather`` over ICI
+  collapses the shrunken level onto every device and the few remaining upper
+  levels are computed replicated (log_a(#devices) tiny levels).  Bit-exact
+  vs the single-device build because shards hold contiguous leaf blocks and
+  the gather preserves axis order.
+
+The build is host-driven per level (like the single-device tree): each local
+level is one small ``shard_map``'d batched-hash program and the gather is its
+own tiny program, so compiled executables stay small and are reused across
+levels, tree sizes, and runs (vs tracing the whole tree into one giant
+program).  No transfers cross the host boundary until the root is fetched.
+
+Multi-host entry: call ``jax.distributed.initialize()`` before building the
+mesh; everything below is expressed against logical devices so the same
+program runs on 1 chip, 1 host, or an N-host slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cuzk_tpu import merkle, poseidon
+from cuzk_tpu.field import fr
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D device mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devs)} available"
+            )
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def shard_batch(x, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Place ``[n, ...]`` on the mesh sharded along axis 0."""
+    spec = P(axis_name, *([None] * (np.ndim(x) - 1)))
+    return jax.device_put(jnp.asarray(x, jnp.uint32), NamedSharding(mesh, spec))
+
+
+def _shmap_hash(mesh: Mesh, axis_name: str, kind: str):
+    """shard_map'd batched hashing: the body compiles once at the per-shard
+    shape (no GSPMD partitioner pass — much cheaper to compile and exactly
+    the data-parallel program we want: zero collectives)."""
+    key = ("hash", id(mesh), axis_name, kind)
+    fn = _LEVEL_CACHE.get(key)
+    if fn is None:
+        if kind == "pairs":
+            body = lambda l, r: poseidon.hash_pair(l, r)  # noqa: E731
+            in_specs = (P(axis_name, None), P(axis_name, None))
+        else:
+            body = lambda x: poseidon.hash_single(x)  # noqa: E731
+            in_specs = (P(axis_name, None),)
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=P(axis_name, None),
+                check_vma=False,
+            )
+        )
+        _LEVEL_CACHE[key] = fn
+    return fn
+
+
+def sharded_hash_pairs(left, right, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Data-parallel batched pair hash: inputs sharded over the mesh, output
+    sharded the same way. The pod-level analog of the reference's
+    thread-per-element batch kernel (poseidon_cuda.cu:166-182)."""
+    return _shmap_hash(mesh, axis_name, "pairs")(
+        shard_batch(left, mesh, axis_name), shard_batch(right, mesh, axis_name)
+    )
+
+
+def sharded_hash_single(x, mesh: Mesh, axis_name: str = DATA_AXIS):
+    return _shmap_hash(mesh, axis_name, "single")(
+        shard_batch(x, mesh, axis_name)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded Merkle build — small per-level programs
+# ---------------------------------------------------------------------------
+
+_LEVEL_CACHE = {}
+
+
+def _local_level_fn(mesh: Mesh, axis_name: str, arity: int):
+    """shard_map'd one-level reduction: [m,16] sharded -> [m/arity,16]
+    sharded.  Group boundaries stay shard-local (caller guarantees the
+    per-shard size is divisible by arity)."""
+    key = ("level", id(mesh), axis_name, arity)
+    fn = _LEVEL_CACHE.get(key)
+    if fn is None:
+
+        def per_shard(local_level):
+            groups = local_level.reshape(
+                local_level.shape[0] // arity, arity, fr.NDIGITS
+            )
+            return poseidon.hash_multiple(groups)
+
+        fn = jax.jit(
+            jax.shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=P(axis_name, None),
+                out_specs=P(axis_name, None),
+                check_vma=False,
+            )
+        )
+        _LEVEL_CACHE[key] = fn
+    return fn
+
+
+def _gather_fn(mesh: Mesh, axis_name: str):
+    """shard_map'd all-gather: [m,16] sharded -> [m,16] replicated."""
+    key = ("gather", id(mesh), axis_name)
+    fn = _LEVEL_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            jax.shard_map(
+                lambda x: jax.lax.all_gather(x, axis_name, tiled=True),
+                mesh=mesh,
+                in_specs=P(axis_name, None),
+                out_specs=P(None, None),
+                check_vma=False,
+            )
+        )
+        _LEVEL_CACHE[key] = fn
+    return fn
+
+
+def sharded_build_levels(
+    leaves, arity: int, mesh: Mesh, axis_name: str = DATA_AXIS
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Build a Merkle tree from mesh-sharded leaves.
+
+    Returns ``(sharded_levels, replicated_levels)``: the lower levels live
+    sharded along the mesh (level 0 = padded leaves), the gathered level and
+    everything above it are replicated; ``replicated_levels[-1][0]`` is the
+    root.  ``replicated_levels[0]`` is the gathered (global) version of
+    ``sharded_levels[-1]``; concatenating ``sharded_levels[:-1] +
+    replicated_levels`` therefore yields exactly
+    ``merkle.build_tree_levels``.
+    """
+    merkle.MerkleConfig(arity)
+    leaves = jnp.asarray(leaves, jnp.uint32)
+    n = int(leaves.shape[0])
+    if n == 0:
+        raise ValueError("cannot shard-build an empty tree")
+    d = mesh.shape[axis_name]
+    m = merkle.padded_leaf_count(n, arity)
+    if m % d != 0:
+        # Degenerate (tiny tree on a big mesh): replicated fallback.
+        levels = merkle.build_tree_levels(leaves, arity)
+        return [], levels
+    if m > n:
+        e = np.array(merkle._empty_hash_digits(arity), np.uint32)
+        pad = jnp.broadcast_to(jnp.asarray(e), (m - n, fr.NDIGITS))
+        leaves = jnp.concatenate([leaves, pad], axis=0)
+    leaves = shard_batch(leaves, mesh, axis_name)
+
+    level_fn = _local_level_fn(mesh, axis_name, arity)
+    local_m = m // d
+    level = leaves
+    sharded_levels = [level]
+    while local_m > 1 and local_m % arity == 0:
+        level = level_fn(level)
+        local_m //= arity
+        sharded_levels.append(level)
+
+    gathered = _gather_fn(mesh, axis_name)(level)
+    replicated_levels = [gathered]
+    g = gathered
+    while g.shape[0] > 1:
+        # Replicated upper levels: plain batched hashing (tiny arrays),
+        # reusing the single-device level executables.
+        groups = g.reshape(g.shape[0] // arity, arity, fr.NDIGITS)
+        g = poseidon.hash_multiple(groups)
+        replicated_levels.append(g)
+    return sharded_levels, replicated_levels
+
+
+def sharded_merkle_root(
+    leaves, arity: int, mesh: Mesh, axis_name: str = DATA_AXIS
+) -> jnp.ndarray:
+    """Root ``[16]`` of a sharded tree build."""
+    _, replicated = sharded_build_levels(leaves, arity, mesh, axis_name)
+    return replicated[-1][0]

@@ -1,0 +1,225 @@
+"""Batched Poseidon hash (t=3, R_F=8, R_P=56, x^5 S-box) over BN254 Fr.
+
+TPU-first re-design of the reference's scalar CPU implementation
+(/root/reference/src/poseidon/poseidon.{hpp,cpp}) and its CUDA batch kernels
+(cuda/poseidon_cuda.cu, cuda/poseidon_cuda_optimized.cu): instead of one
+thread per state, every function here is a pure jnp program over
+``[..., 16] uint32`` digit arrays, batch-vectorized across leading axes, with
+the 64 rounds expressed as three ``lax.scan`` phases (4 full / 56 partial /
+4 full — poseidon.cpp:60-87) so the whole permutation compiles to one fused
+XLA program.  Bit-exact against ``cuzk_tpu.oracle`` (SURVEY.md Appendix A).
+
+Design notes vs the reference:
+- Round constants (poseidon.cpp:33-44) and the 3x3 MDS matrix
+  (poseidon.cpp:46-58) are baked in as numpy arrays and folded into the
+  compiled executable — the TPU analog of the reference's
+  ``cudaMemcpyToSymbol`` constant upload (poseidon_cuda.cu:256-277).
+- MDS coefficients are tiny ({4..26}); rows use :func:`fr.mul_small`
+  (one-digit multiplier) instead of the full 512-bit schoolbook product,
+  cutting the MDS cost ~6x while remaining bit-identical.
+- All state values inside the permutation are reduced (< p), so round-constant
+  adds and MDS accumulations use the single-conditional-subtract
+  :func:`fr.add_rr` fast path (bit-identical to the wrapping add in this
+  regime).  The sponge's absorb add uses the full wrapping :func:`fr.add`
+  because user-supplied inputs may be any canonical 256-bit value.
+- The empty-input sponge returns 0 without permuting (poseidon.cpp:103-126),
+  a reference quirk preserved deliberately (SURVEY.md Appendix B.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cuzk_tpu import oracle
+from cuzk_tpu.field import fr
+
+T = oracle.T
+RATE = oracle.RATE
+FULL_ROUNDS = oracle.FULL_ROUNDS
+PARTIAL_ROUNDS = oracle.PARTIAL_ROUNDS
+HALF_FULL = FULL_ROUNDS // 2
+
+
+@dataclass(frozen=True)
+class PoseidonParams:
+    """The reference's compile-time parameter block (poseidon.hpp:8-16),
+    surfaced as a frozen config.  The implemented kernels are specialized to
+    the default values (as is the reference — changing them there requires a
+    recompile; here it would require regenerating the round structure)."""
+
+    state_size: int = oracle.T  # t
+    capacity: int = 1
+    rate: int = oracle.RATE
+    full_rounds: int = oracle.FULL_ROUNDS  # R_F
+    partial_rounds: int = oracle.PARTIAL_ROUNDS  # R_P
+    sbox_power: int = 5  # alpha
+
+    def __post_init__(self):
+        if (
+            self.state_size != oracle.T
+            or self.rate != oracle.RATE
+            or self.full_rounds != oracle.FULL_ROUNDS
+            or self.partial_rounds != oracle.PARTIAL_ROUNDS
+            or self.sbox_power != 5
+        ):
+            raise ValueError(
+                "only the reference parameter set (t=3, r=2, R_F=8, R_P=56, "
+                "alpha=5) is supported, matching the reference's "
+                "compile-time constants"
+            )
+
+
+DEFAULT_PARAMS = PoseidonParams()
+
+DS_SINGLE = oracle.DS_SINGLE
+DS_PAIR = oracle.DS_PAIR
+DS_MULTIPLE = oracle.DS_MULTIPLE
+
+# Round constants as [64, 3, 16] uint32 digit arrays (poseidon.cpp:33-44),
+# grouped per round for the scan phases.
+RC_DIGITS = fr.ints_to_array(oracle.RC).reshape(
+    FULL_ROUNDS + PARTIAL_ROUNDS, T, fr.NDIGITS
+)
+# Round schedule: 4 full / 56 partial / 4 full (poseidon.cpp:60-87).
+_IS_FULL = np.array(
+    [r < HALF_FULL or r >= HALF_FULL + PARTIAL_ROUNDS for r in range(64)],
+    dtype=bool,
+)
+
+# 3x3 MDS matrix, row-major (poseidon.cpp:46-58). Python ints: consumed as
+# static one-digit multipliers by fr.mul_small.
+MDS = oracle.MDS
+
+
+def _mds_layer(s):
+    """new_s[i] = sum_j MDS[i][j] * s[j] with the reference's add/mul
+    semantics (poseidon.cpp:148-167). All inputs reduced."""
+    out = []
+    for i in range(T):
+        acc = fr.mul_small(s[0], np.uint32(MDS[T * i]))
+        for j in range(1, T):
+            acc = fr.add_rr(acc, fr.mul_small(s[j], np.uint32(MDS[T * i + j])))
+        out.append(acc)
+    return tuple(out)
+
+
+def _full_round(s, rc):
+    """RC-add -> x^5 on all lanes -> MDS (poseidon.cpp:69-72,77-80)."""
+    s = tuple(fr.add_rr(s[i], rc[i]) for i in range(T))
+    s = tuple(fr.power5(x) for x in s)
+    return _mds_layer(s)
+
+
+def _partial_round(s, rc):
+    """RC-add -> x^5 on lane 0 only -> MDS (poseidon.cpp:74-75)."""
+    s = tuple(fr.add_rr(s[i], rc[i]) for i in range(T))
+    s = (fr.power5(s[0]), s[1], s[2])
+    return _mds_layer(s)
+
+
+def _permute_tuple(s):
+    """64-round permutation on a tuple of 3 ``[..., 16]`` digit arrays.
+
+    ONE scan over all 64 rounds with a ``lax.cond`` full/partial S-box
+    switch: the round body compiles once (three separate scan phases were
+    measured to compile ~3x slower in composition)."""
+
+    def step(carry, xs):
+        rc, is_full = xs
+        st = tuple(fr.add_rr(carry[i], rc[i]) for i in range(T))
+        st = jax.lax.cond(
+            is_full,
+            lambda t: tuple(fr.power5(x) for x in t),
+            lambda t: (fr.power5(t[0]), t[1], t[2]),
+            st,
+        )
+        return _mds_layer(st), None
+
+    s, _ = jax.lax.scan(
+        step, s, (jnp.asarray(RC_DIGITS), jnp.asarray(_IS_FULL))
+    )
+    return s
+
+
+@jax.jit
+def permutation(state: jnp.ndarray) -> jnp.ndarray:
+    """Poseidon permutation on ``[..., 3, 16]`` states (poseidon.cpp:60-87)."""
+    s = tuple(state[..., i, :] for i in range(T))
+    s = _permute_tuple(s)
+    return jnp.stack(s, axis=-2)
+
+
+def _sponge(inputs: jnp.ndarray, domain_separator: int) -> jnp.ndarray:
+    """Sponge over ``[..., n, 16]`` inputs with a static block count
+    (poseidon.cpp:103-126): ds in state[0], absorb pairs into state[1..2],
+    one permutation per absorbed rate-block, squeeze state[1]."""
+    n = inputs.shape[-2]
+    batch_shape = inputs.shape[:-2]
+    zero = jnp.zeros(batch_shape + (fr.NDIGITS,), jnp.uint32)
+    if n == 0:
+        # Empty input: absorb loop never runs, state[1] is still 0
+        # (reference quirk, SURVEY.md Appendix B.4).
+        return zero
+    s0 = jnp.broadcast_to(
+        jnp.asarray(fr.int_to_digits(domain_separator)), zero.shape
+    )
+    s = (s0, zero, zero)
+    i = 0
+    while i < n:
+        absorbed = list(s)
+        for j in range(RATE):
+            if i >= n:
+                break
+            absorbed[1 + j] = fr.add(absorbed[1 + j], inputs[..., i, :])
+            i += 1
+        s = _permute_tuple(tuple(absorbed))
+    return s[1]
+
+
+sponge = jax.jit(_sponge, static_argnums=1)
+
+
+@jax.jit
+def hash_single(x: jnp.ndarray) -> jnp.ndarray:
+    """Batched single-input hash, ds=1 (poseidon.cpp:89-91). [...,16]->[...,16]."""
+    return _sponge(x[..., None, :], DS_SINGLE)
+
+
+@jax.jit
+def hash_pair(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    """Batched pair hash, ds=2 (poseidon.cpp:93-96)."""
+    left, right = jnp.broadcast_arrays(left, right)
+    return _sponge(jnp.stack([left, right], axis=-2), DS_PAIR)
+
+
+@jax.jit
+def hash_multiple(inputs: jnp.ndarray) -> jnp.ndarray:
+    """Batched n-input hash, ds=3 (poseidon.cpp:98-101). ``[..., n, 16]`` with
+    static n -> ``[..., 16]``."""
+    return _sponge(inputs, DS_MULTIPLE)
+
+
+# ---------------------------------------------------------------------------
+# Convenience host-side helpers (ints in / ints out) for tests and CLIs.
+# ---------------------------------------------------------------------------
+
+def hash_single_int(x: int) -> int:
+    return fr.array_to_ints(hash_single(fr.ints_to_array([x])))[0]
+
+
+def hash_pair_int(left: int, right: int) -> int:
+    return fr.array_to_ints(
+        hash_pair(fr.ints_to_array([left]), fr.ints_to_array([right]))
+    )[0]
+
+
+def hash_multiple_int(inputs) -> int:
+    if len(inputs) == 0:
+        return 0
+    arr = fr.ints_to_array(inputs)[None, :, :]
+    return fr.array_to_ints(hash_multiple(arr))[0]

@@ -1,0 +1,68 @@
+"""Sharded build/hash tests on the 8-virtual-device CPU mesh.
+
+The multi-device analog of the reference's CPU-vs-GPU consistency tests
+(test_merkle_tree_cuda.cpp:82-171): the sharded program must agree
+bit-exactly with the single-device build on every topology.
+"""
+
+import random
+
+import numpy as np
+import pytest
+import jax
+
+from cuzk_tpu import merkle, oracle, poseidon
+from cuzk_tpu.field import fr
+from cuzk_tpu.parallel import distributed
+
+rng = random.Random(99)
+
+
+def rand_leaves(n):
+    return fr.ints_to_array([rng.randrange(oracle.P) for _ in range(n)])
+
+
+def test_mesh_has_8_devices():
+    mesh = distributed.make_mesh()
+    assert mesh.shape[distributed.DATA_AXIS] == 8
+
+
+def test_sharded_hash_pairs_matches_local():
+    mesh = distributed.make_mesh()
+    l, r = rand_leaves(32), rand_leaves(32)
+    got = distributed.sharded_hash_pairs(l, r, mesh)
+    want = poseidon.hash_pair(np.asarray(l), np.asarray(r))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("arity,count,ndev", [(2, 32, 8), (4, 64, 4), (8, 64, 8)])
+def test_sharded_root_matches_single_device(arity, count, ndev):
+    mesh = distributed.make_mesh(ndev)
+    leaves = rand_leaves(count)
+    root = distributed.sharded_merkle_root(leaves, arity, mesh)
+    want = merkle.merkle_root(leaves, arity)
+    np.testing.assert_array_equal(np.asarray(root), np.asarray(want))
+
+
+def test_sharded_levels_concatenate_to_full_tree():
+    mesh = distributed.make_mesh(4)
+    arity, count = 2, 32
+    leaves = rand_leaves(count)
+    sharded, replicated = distributed.sharded_build_levels(leaves, arity, mesh)
+    full = merkle.build_tree_levels(leaves, arity)
+    # replicated[0] is the gathered version of sharded[-1]
+    combined = [np.asarray(lv) for lv in sharded[:-1]] + [
+        np.asarray(lv) for lv in replicated
+    ]
+    assert len(combined) == len(full)
+    for got, want in zip(combined, full):
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_sharded_degenerate_fallback():
+    # 4 leaves on 8 devices: m % d != 0 -> replicated fallback, same root.
+    mesh = distributed.make_mesh(8)
+    leaves = rand_leaves(4)
+    root = distributed.sharded_merkle_root(leaves, 2, mesh)
+    want = merkle.merkle_root(leaves, 2)
+    np.testing.assert_array_equal(np.asarray(root), np.asarray(want))

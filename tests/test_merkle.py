@@ -1,0 +1,196 @@
+"""Merkle layer tests: golden roots, oracle differentials, proof round-trips.
+
+Mirrors the reference's tree tests (test_merkle_tree.cpp,
+test_merkle_tree_cuda.cpp: root consistency, heights, proof verify,
+cross-implementation checks) with hard golden vectors added.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from cuzk_tpu import merkle, oracle
+from cuzk_tpu.field import fr
+
+rng = random.Random(4242)
+
+
+def leaves_arr(xs):
+    return fr.ints_to_array(xs)
+
+
+def test_golden_roots():
+    assert merkle.NaryMerkleTree(leaves_arr([1, 2])).root_int() == int(
+        "0x28c245bfd4d7a4d1ee6ba330337adc309f013d29c9326c28ba0d3cb47027fca6", 16
+    )
+    assert merkle.NaryMerkleTree(leaves_arr([1, 2, 3, 4])).root_int() == int(
+        "0x236b917229eeea3ee41c637a7c3cc01f727ac1dc5108c962f564acc1d8730e44", 16
+    )
+    t3 = merkle.NaryMerkleTree(
+        leaves_arr([1, 2, 3, 4, 5]), merkle.MerkleConfig(arity=3)
+    )
+    assert t3.root_int() == int(
+        "0x28b819c1eb91377e70ed6e8bbb4c526b9b7ababafdcb021e135791fc4f3e25aa", 16
+    )
+
+
+def test_empty_hash_golden():
+    assert merkle.empty_hash_int(2) == int(
+        "0x194324f01efa21d2dcdd7453800fde166a852e2906e0e6de5de6921eeb77feec", 16
+    )
+    assert merkle.empty_hash_int(4) == int(
+        "0x1c7842d7703c243a99d6e6ca4033851791b5ae206220fc8c9bcdde10e5befbdd", 16
+    )
+    assert merkle.empty_hash_int(8) == int(
+        "0x2ca165c9c68473c20eb293f63de5986e10a90fb68f6e54bd7932e5166048445d", 16
+    )
+
+
+@pytest.mark.parametrize("arity,count", [(2, 5), (3, 7), (8, 10)])
+def test_roots_match_oracle(arity, count):
+    xs = [rng.randrange(oracle.P) for _ in range(count)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    assert tree.root_int() == oracle.merkle_root(xs, arity)
+    assert tree.get_tree_height() == oracle.tree_height(count, arity)
+    # every level matches the oracle
+    want_levels = oracle.build_tree_levels(xs, arity)
+    got_levels = [fr.array_to_ints(lv) for lv in tree.levels]
+    assert got_levels == want_levels
+
+
+@pytest.mark.parametrize("arity", [2, 4, 8])
+def test_proof_roundtrip(arity):
+    count = 16
+    xs = [rng.randrange(oracle.P) for _ in range(count)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    idxs = [0, 3, count - 1]
+    pos, sib = tree.generate_batch_proofs(idxs)
+    leaves = tree.levels[0][np.array(idxs)]
+    # batch verify against our root
+    assert tree.verify_batch_proofs(pos, sib, leaves)
+    # individual proofs match the oracle's proof content
+    for row, i in enumerate(idxs):
+        o_idx, o_path = oracle.generate_proof(
+            [fr.array_to_ints(lv) for lv in tree.levels], arity, i
+        )
+        assert list(np.asarray(pos[row])) == o_idx
+        got_sibs = [
+            fr.array_to_ints(np.asarray(sib[row][lvl]))
+            for lvl in range(sib.shape[1])
+        ]
+        assert got_sibs == o_path
+
+
+def test_verify_rejects_tampered():
+    xs = [rng.randrange(oracle.P) for _ in range(8)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs))
+    pos, sib = tree.generate_batch_proofs([2])
+    leaf = tree.levels[0][2]
+    assert tree.verify_proof(pos[0], sib[0], leaf)
+    # wrong leaf
+    bad_leaf = fr.ints_to_array([oracle.add(xs[2], 1)])[0]
+    assert not tree.verify_proof(pos[0], sib[0], bad_leaf)
+    # tampered sibling
+    bad_sib = np.asarray(sib[0]).copy()
+    bad_sib[0, 0, 0] ^= 1
+    assert not tree.verify_proof(pos[0], bad_sib, leaf)
+    # wrong position
+    bad_pos = np.asarray(pos[0]).copy()
+    bad_pos[0] = (bad_pos[0] + 1) % 2
+    assert not tree.verify_proof(bad_pos, sib[0], leaf)
+
+
+def test_single_leaf_tree():
+    tree = merkle.NaryMerkleTree(leaves_arr([42]))
+    assert tree.get_tree_height() == 1
+    assert tree.root_int() == 42
+    pos, sib = tree.generate_batch_proofs([0])
+    assert pos.shape == (1, 0)
+    assert tree.verify_batch_proofs(pos, sib, tree.levels[0][:1])
+
+
+def test_empty_tree():
+    tree = merkle.NaryMerkleTree()
+    assert tree.levels == []
+    root = merkle.merkle_root(np.zeros((0, fr.NDIGITS), np.uint32), 2)
+    assert fr.array_to_ints(root[None])[0] == oracle.empty_hash(2)
+    with pytest.raises(ValueError):
+        tree.get_root_hash()
+
+
+def test_update_and_insert_leaf():
+    xs = [rng.randrange(oracle.P) for _ in range(4)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs))
+    new_val = rng.randrange(oracle.P)
+    assert tree.update_leaf(1, fr.int_to_digits(new_val))
+    xs2 = list(xs)
+    xs2[1] = new_val
+    assert tree.root_int() == oracle.merkle_root(xs2, 2)
+
+    extra = rng.randrange(oracle.P)
+    assert tree.insert_leaf(fr.int_to_digits(extra))
+    assert tree.get_leaf_count() == 5
+    assert tree.root_int() == oracle.merkle_root(xs2 + [extra], 2)
+
+
+def test_out_of_range_proof():
+    tree = merkle.NaryMerkleTree(leaves_arr([1, 2, 3, 4]))
+    with pytest.raises(IndexError):
+        tree.generate_proof(99)
+
+
+def test_invalid_arity():
+    with pytest.raises(ValueError):
+        merkle.MerkleConfig(arity=1)
+    with pytest.raises(ValueError):
+        merkle.MerkleConfig(arity=9)
+
+
+def test_optimal_arity_heuristic():
+    assert merkle.optimal_arity(100) == 2
+    assert merkle.optimal_arity(50_000) == 4
+    assert merkle.optimal_arity(1_000_000) == 8
+
+
+def test_generate_test_leaves_matches_mt19937():
+    got = merkle.generate_test_leaves(4, seed=42)
+    want = oracle.generate_test_leaves(4, seed=42)
+    assert fr.array_to_ints(got) == want
+
+
+def test_validate_proof_structure_and_compare_trees():
+    xs = [rng.randrange(oracle.P) for _ in range(4)]
+    t1 = merkle.NaryMerkleTree(leaves_arr(xs))
+    t2 = merkle.NaryMerkleTree(leaves_arr(xs))
+    t3 = merkle.NaryMerkleTree(leaves_arr(xs[:2]))
+    assert merkle.compare_trees(t1, t2)
+    assert not merkle.compare_trees(t1, t3)
+    pos, sib = t1.generate_batch_proofs([1])
+    assert merkle.validate_proof_structure(pos[0], sib[0], 2)
+    assert not merkle.validate_proof_structure(pos[0], sib[0], 3)
+    out = merkle.print_tree(t1)
+    assert "root" in out and "level 0" in out
+    assert merkle.print_tree(merkle.NaryMerkleTree()) == "(empty tree)"
+
+
+def test_build_batch_trees_equal_sizes_fused():
+    sets = [
+        leaves_arr([rng.randrange(oracle.P) for _ in range(4)]) for _ in range(3)
+    ]
+    trees = merkle.build_batch_trees(sets, arity=2)
+    assert len(trees) == 3
+    for ls, t in zip(sets, trees):
+        assert t.root_int() == oracle.merkle_root(fr.array_to_ints(ls), 2)
+        # proofs from fused builds still verify
+        pos, sib = t.generate_batch_proofs([0])
+        assert t.verify_batch_proofs(pos, sib, t.levels[0][:1])
+
+
+def test_build_batch_trees_mixed_sizes():
+    sets = [
+        leaves_arr([rng.randrange(oracle.P) for _ in range(k)]) for k in (2, 4)
+    ]
+    trees = merkle.build_batch_trees(sets, arity=2)
+    for ls, t in zip(sets, trees):
+        assert t.root_int() == oracle.merkle_root(fr.array_to_ints(ls), 2)
