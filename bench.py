@@ -1,7 +1,7 @@
 """Headline benchmark: Poseidon pair-hash throughput per chip (Pallas kernel).
 
 Mirrors the reference's "Large Scale" config (README.md:126, benchmark.cpp:224):
-1,000,000 total pair hashes at batch 4096 — here lifted to batch 16384 for
+1,000,000 total pair hashes at batch 4096 — here lifted to batch 65536 for
 grid efficiency (same total).  Baseline to beat: the A100 CUDA number,
 2,145,027 hashes/s (README.md:134, SURVEY.md §6).
 
@@ -12,10 +12,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compile cache: kernel compiles over the TPU tunnel run
+# minutes; cached executables load in milliseconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cuzk_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_PAIR_HASHES_PER_S = 2_145_027.0  # A100 CUDA, README.md:134
 
@@ -28,7 +34,7 @@ def main() -> None:
     from cuzk_tpu.field import fr
     from cuzk_tpu.ops import hash_pair_pallas
 
-    batch = 16384
+    batch = 65536
     total = 1_048_576
     iters = max(1, total // batch)
 
@@ -42,8 +48,11 @@ def main() -> None:
         for _ in range(4)
     ]
 
-    # Warm-up / compile + bit-exactness gate vs the oracle.
-    out = jax.block_until_ready(hash_pair_pallas(*bufs[0]))
+    # Warm-up / compile + bit-exactness gate vs the oracle.  Drain each
+    # warm-up via an actual readback: block_until_ready does not reliably
+    # wait on tunneled TPU backends, and the warm-up must also force the
+    # input buffers' host->device upload out of the timed region.
+    out = hash_pair_pallas(*bufs[0])
     l0 = fr.array_to_ints(np.asarray(bufs[0][0][:2]))
     r0 = fr.array_to_ints(np.asarray(bufs[0][1][:2]))
     got = fr.array_to_ints(np.asarray(out[:2]))
@@ -53,7 +62,7 @@ def main() -> None:
                           "error": "bit-exactness gate failed"}))
         sys.exit(1)
     for b in bufs[1:]:
-        jax.block_until_ready(hash_pair_pallas(*b))
+        np.asarray(hash_pair_pallas(*b)[0])
 
     start = time.perf_counter()
     outs = []

@@ -34,18 +34,27 @@ BASELINES = {
 }
 
 
+def _drain(out) -> None:
+    """Force completion via a tiny readback of one leaf: block_until_ready
+    does not reliably wait on tunneled TPU backends, and a readback also
+    forces pending host->device uploads out of the timed region."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        last = leaves[-1]
+        # Tiny on-device slice first so the readback moves O(1) bytes.
+        np.asarray(last[(0,) * last.ndim] if last.ndim else last)
+
+
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
     """Median-free simple wall timing: warm-up (compiles), then timed loop.
     Returns seconds per iteration."""
-    import jax
-
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _drain(fn(*args))
     start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(iters)]
+    _drain(outs[-1])
     return (time.perf_counter() - start) / iters
 
 

@@ -209,24 +209,33 @@ def generate_proof(levels, arity, leaf_index: int):
 # batch_verify_proofs_kernel, merkle_tree_cuda.cu:67-118).
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def _insert_at_position(current, pos, sibs, arity):
+    """[k,16] current + [k] positions + [k,arity-1,16] siblings ->
+    [k,arity,16] child groups (current node at its position, siblings
+    around it — merkle_tree.cpp:224-253).  One small program reused across
+    all levels of all verifications with the same (k, arity)."""
+    slots = []
+    for i in range(arity):
+        below = sibs[:, min(i, arity - 2)]
+        above = sibs[:, max(i - 1, 0)]
+        cand = jnp.where((jnp.int32(i) > pos)[:, None], above, below)
+        slots.append(jnp.where((jnp.int32(i) == pos)[:, None], current, cand))
+    return jnp.stack(slots, axis=1)
+
+
 def _verify_batch(arity, positions, siblings, leaves, root):
     """All k proofs verified together, level-by-level: each level builds the
-    [k, arity, 16] child groups (current node inserted at its position,
-    siblings around it — merkle_tree.cpp:224-253) and runs ONE batched hash.
-    The whole-batch analog of batch_verify_proofs_kernel
-    (merkle_tree_cuda.cu:67-118) without the CSR flattening."""
+    [k, arity, 16] child groups and runs ONE batched hash.  The whole-batch
+    analog of batch_verify_proofs_kernel (merkle_tree_cuda.cu:67-118)
+    without the CSR flattening; host-driven so the two small compiled
+    programs (group-build, hash) are reused across every level."""
     current = leaves  # [k, 16]
     h = positions.shape[1]
     for lvl in range(h):
-        pos = positions[:, lvl]  # [k]
-        sibs = siblings[:, lvl]  # [k, arity-1, 16]
-        slots = []
-        for i in range(arity):
-            below = sibs[:, min(i, arity - 2)]
-            above = sibs[:, max(i - 1, 0)]
-            cand = jnp.where((jnp.int32(i) > pos)[:, None], above, below)
-            slots.append(jnp.where((jnp.int32(i) == pos)[:, None], current, cand))
-        group = jnp.stack(slots, axis=1)  # [k, arity, 16]
+        group = _insert_at_position(
+            current, positions[:, lvl], siblings[:, lvl], arity
+        )
         current = _engine_hash_multiple(group)
     return jnp.all(current == root[None, :], axis=-1)
 

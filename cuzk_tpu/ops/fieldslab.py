@@ -50,6 +50,33 @@ def _const_col(x: int, ndigits: int = NDIGITS) -> np.ndarray:
     ).reshape(ndigits, 1, 1)
 
 
+import contextlib
+
+# Trace-local cache of constant columns.  When active (see
+# :func:`const_cache`), kernels build each constant ONCE in the outer trace
+# and loop bodies close over it (loop-invariant hoisting) — the naive
+# per-use rebuild added ~25% to both compile time and instruction count.
+_CONST_CACHE = None
+
+
+@contextlib.contextmanager
+def const_cache(batch_shape):
+    """Activate constant hoisting for a kernel trace and pre-build the
+    standard columns (p, 2p, 4p, k) at ``batch_shape`` in the CURRENT trace
+    (so inner fori_loop bodies capture them as invariants, never creating
+    them inside their own traces)."""
+    global _CONST_CACHE
+    old = _CONST_CACHE
+    _CONST_CACHE = {}
+    try:
+        m = 1 << 256
+        for v in (K_INT, m - P_INT, m - P2_INT, m - P4_INT):
+            const_col(v, batch_shape)
+        yield
+    finally:
+        _CONST_CACHE = old
+
+
 def const_col(x: int, batch_shape, ndigits: int = NDIGITS) -> jnp.ndarray:
     """Digit column built from scalar immediates at trace time, materialized
     at the full batch shape ``[ndigits, *batch_shape]``.
@@ -58,7 +85,12 @@ def const_col(x: int, batch_shape, ndigits: int = NDIGITS) -> jnp.ndarray:
     broadcast ``(n,1,1)`` vectors over the tiled dims, so each digit is a
     scalar splat at the operating shape (folded into splat vregs)."""
     batch_shape = tuple(batch_shape)
-    return jnp.concatenate(
+    key = (x, batch_shape, ndigits)
+    if _CONST_CACHE is not None:
+        cached = _CONST_CACHE.get(key)
+        if cached is not None:
+            return cached
+    col = jnp.concatenate(
         [
             jnp.full(
                 (1,) + batch_shape,
@@ -68,6 +100,9 @@ def const_col(x: int, batch_shape, ndigits: int = NDIGITS) -> jnp.ndarray:
         ],
         axis=0,
     )
+    if _CONST_CACHE is not None:
+        _CONST_CACHE[key] = col
+    return col
 
 
 P_INT = oracle.P
@@ -167,24 +202,45 @@ def sub_borrow(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
 
 
 def cond_sub(a: jnp.ndarray, m) -> jnp.ndarray:
-    """a - m if a >= m else a."""
+    """a - m if a >= m else a (general/traced m — the hot path uses
+    :func:`cond_sub_const`)."""
     d, borrow = sub_borrow(a, jnp.asarray(m))
     return jnp.where((borrow == 0)[None], d, a)
 
 
+def cond_sub_const(a: jnp.ndarray, m_int: int) -> jnp.ndarray:
+    """a - m if a >= m else a, for a COMPILE-TIME constant 0 < m <= 2^256.
+
+    Computed as one ripple add of the precomputed complement 2^256 - m:
+    the carry out of the top digit is exactly the ``a >= m`` predicate and
+    the low 256 bits are ``a - m`` — one add chain instead of a borrow scan
+    plus a subtract (~4x fewer ops; this sits inside every reduce)."""
+    comp = const_col((1 << 256) - m_int, a.shape[1:])
+    out = []
+    c = None
+    for i in range(NDIGITS):
+        t = _digit(a, i) + _digit(comp, i)
+        if c is not None:
+            t = t + c
+        out.append(t & DIGIT_MASK)
+        c = t >> DIGIT_BITS
+    d = jnp.stack(out, axis=0)
+    return jnp.where((c == 1)[None], d, a)
+
+
 def red(a: jnp.ndarray) -> jnp.ndarray:
     """a mod p for canonical a < 2^256 (field_arithmetic.cpp:244-248, as three
-    fixed conditional subtracts of 4p/2p/p)."""
-    a = cond_sub(a, const_col(P4_INT, a.shape[1:]))
-    a = cond_sub(a, const_col(P2_INT, a.shape[1:]))
-    return cond_sub(a, const_col(P_INT, a.shape[1:]))
+    fixed conditional subtracts of 4p/2p/p — exact for a < 8p > 2^256)."""
+    a = cond_sub_const(a, P4_INT)
+    a = cond_sub_const(a, P2_INT)
+    return cond_sub_const(a, P_INT)
 
 
 def add_rr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Field add for reduced operands: one carry + one conditional subtract
     (bit-identical to the oracle add in the < p regime)."""
     s, _ = carry(a + b)
-    return cond_sub(s, const_col(P_INT, s.shape[1:]))
+    return cond_sub_const(s, P_INT)
 
 
 def add_wrap_red(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -205,20 +261,44 @@ def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
+class _Accum:
+    """Per-column accumulator over the free leading (digit) axis.
+
+    The digit axis is untiled, so each column is its own vreg set: adding a
+    product digit into its column is ONE vector add, and the final stack is
+    a register concatenation.  This replaces the old pad-rows-to-32-then-sum
+    scheme, whose adds over the zero padding nearly doubled the op count."""
+
+    def __init__(self, n: int):
+        self.cols: List = [None] * n
+
+    def add(self, c: int, v: jnp.ndarray) -> None:
+        cur = self.cols[c]
+        self.cols[c] = v if cur is None else cur + v
+
+    def stack(self, fill_shape=None) -> jnp.ndarray:
+        cols = self.cols
+        if any(c is None for c in cols):
+            z = jnp.zeros(fill_shape, jnp.uint32)
+            cols = [z if c is None else c for c in cols]
+        return jnp.stack(cols, axis=0)
+
+
 def mul_wide(a: jnp.ndarray, b) -> jnp.ndarray:
     """Exact 512-bit schoolbook product -> [32, S, L]
-    (field_arithmetic.cpp:221-238).  ``b`` may be a [16,1,1] constant column."""
+    (field_arithmetic.cpp:221-238).  ``b`` may be a [16,1,1] constant column.
+
+    Column sums stay < 32*2^16 = 2^21: no overflow before the carry pass."""
     b = jnp.asarray(b)
-    rows = []
+    acc = _Accum(NDIGITS_WIDE)
     for i in range(NDIGITS):
         t = _row(a, i) * b  # [16, S, L]: 16 digit products in one op
         lo = t & DIGIT_MASK
         hi = t >> DIGIT_BITS
-        pad_tail = [(0, 0)] * (a.ndim - 1)
-        rows.append(jnp.pad(lo, [(i, NDIGITS - i)] + pad_tail))
-        rows.append(jnp.pad(hi, [(i + 1, NDIGITS - i - 1)] + pad_tail))
-    cols = sum(rows[1:], rows[0])  # columns < 2^21: no overflow pre-carry
-    out, _ = carry(cols)  # product < 2^512: carry_out == 0
+        for j in range(NDIGITS):
+            acc.add(i + j, _digit(lo, j))
+            acc.add(i + j + 1, _digit(hi, j))
+    out, _ = carry(acc.stack())  # product < 2^512: carry_out == 0
     return out
 
 
@@ -226,17 +306,16 @@ def mul_low(a: jnp.ndarray, b) -> jnp.ndarray:
     """Low 256 bits of the exact product (the truncation in
     field_arithmetic.cpp:318-322)."""
     b = jnp.asarray(b)
-    rows = []
+    acc = _Accum(NDIGITS)
     for i in range(NDIGITS):
         t = _row(a, i) * b
-        lo = (t & DIGIT_MASK)[: NDIGITS - i]
-        pad_tail = [(0, 0)] * (a.ndim - 1)
-        rows.append(jnp.pad(lo, [(i, 0)] + pad_tail))
-        if i + 1 < NDIGITS:
-            hi = (t >> DIGIT_BITS)[: NDIGITS - i - 1]
-            rows.append(jnp.pad(hi, [(i + 1, 0)] + pad_tail))
-    cols = sum(rows[1:], rows[0])
-    out, _ = carry(cols)  # dropped carry == the & M256 truncation
+        lo = t & DIGIT_MASK
+        hi = t >> DIGIT_BITS
+        for j in range(NDIGITS - i):
+            acc.add(i + j, _digit(lo, j))
+        for j in range(NDIGITS - i - 1):
+            acc.add(i + j + 1, _digit(hi, j))
+    out, _ = carry(acc.stack())  # dropped carry == the & M256 truncation
     return out
 
 
@@ -306,41 +385,27 @@ def square_wide(a: jnp.ndarray) -> jnp.ndarray:
     """Exact 512-bit square — same result as ``mul_wide(a, a)`` with ~45%
     fewer digit products (off-diagonal terms counted once and doubled in
     column space, where sums stay < 2^22 in u32)."""
-    nd = a.ndim - 1
-    pad_tail = [(0, 0)] * nd
-    off_rows = []
-    diag_rows = []
+    off = _Accum(NDIGITS_WIDE)
+    diag = _Accum(NDIGITS_WIDE)
     for i in range(NDIGITS):
         ai = _row(a, i)
         # diagonal a_i^2 -> column 2i
-        d = ai * ai
-        diag_rows.append(
-            jnp.pad(d & DIGIT_MASK, [(2 * i, NDIGITS_WIDE - 2 * i - 1)] + pad_tail)
-        )
-        diag_rows.append(
-            jnp.pad(
-                d >> DIGIT_BITS,
-                [(2 * i + 1, NDIGITS_WIDE - 2 * i - 2)] + pad_tail,
-            )
-        )
+        d = _digit(ai * ai, 0)
+        diag.add(2 * i, d & DIGIT_MASK)
+        if 2 * i + 1 < NDIGITS_WIDE:
+            diag.add(2 * i + 1, d >> DIGIT_BITS)
         # off-diagonal a_i * a_j for j > i -> columns i+j (counted once here)
         if i + 1 < NDIGITS:
             rest = jax.lax.slice_in_dim(a, i + 1, NDIGITS, axis=0)
             t = ai * rest  # [15-i, S, L]
-            off_rows.append(
-                jnp.pad(
-                    t & DIGIT_MASK,
-                    [(2 * i + 1, NDIGITS_WIDE - NDIGITS - i)] + pad_tail,
-                )
-            )
-            off_rows.append(
-                jnp.pad(
-                    t >> DIGIT_BITS,
-                    [(2 * i + 2, NDIGITS_WIDE - NDIGITS - i - 1)] + pad_tail,
-                )
-            )
-    off = sum(off_rows[1:], off_rows[0])  # columns < 16*2^16 = 2^20
-    cols = 2 * off + sum(diag_rows[1:], diag_rows[0])  # < 2^22: no overflow
+            lo = t & DIGIT_MASK
+            hi = t >> DIGIT_BITS
+            for jj in range(NDIGITS - i - 1):
+                off.add(2 * i + 1 + jj, _digit(lo, jj))
+                off.add(2 * i + 2 + jj, _digit(hi, jj))
+    shp = a.shape[1:]
+    # off columns < 16*2^16 = 2^20; doubled + diag < 2^22: no overflow.
+    cols = 2 * off.stack(shp) + diag.stack(shp)
     out, _ = carry(cols)
     return out
 
@@ -379,7 +444,7 @@ def add_scalar_digits(a: jnp.ndarray, rc_digits: Sequence) -> jnp.ndarray:
 def rc_add(a: jnp.ndarray, rc_digits: Sequence) -> jnp.ndarray:
     """Standalone round-constant add on a reduced value (round 0's RC)."""
     s, _ = carry(add_scalar_digits(a, rc_digits))
-    return cond_sub(s, const_col(P_INT, s.shape[1:]))
+    return cond_sub_const(s, P_INT)
 
 
 def mds_rc_fused(
@@ -403,7 +468,7 @@ def mds_rc_fused(
         if rc_rows is not None:
             s = add_scalar_digits(s, rc_rows[i])
         d, _ = carry(s)  # value < 4p < 2^256: nothing dropped
-        d = cond_sub(d, const_col(P2_INT, d.shape[1:]))
-        d = cond_sub(d, const_col(P_INT, d.shape[1:]))
+        d = cond_sub_const(d, P2_INT)
+        d = cond_sub_const(d, P_INT)
         out.append(d)
     return out

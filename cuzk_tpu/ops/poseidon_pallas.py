@@ -68,13 +68,29 @@ def _rc_row(rc, r, i):
     return [rc[r, i, d] for d in range(ND)]
 
 
-def _permute(s, rc):
+def _permute(s, rc, full_round0_add: bool = False):
     """The 64-round permutation on a list of 3 slabs.
 
     Round r's constant-add is fused into round r-1's MDS reduce
     (bit-exact — see fieldslab.mds_rc_fused); round 0's is standalone.
+
+    ``full_round0_add``: the sponge always feeds REDUCED state (< p), where
+    the single-subtract ``rc_add`` equals the oracle's wrapping add exactly.
+    The public raw-permutation API may receive arbitrary canonical 256-bit
+    state (like the reference's batch_permutation, poseidon_cuda.cu:184-206,
+    whose cuda_add fully reduces) — it passes True to use the full
+    wrap-at-2^256 + 4p/2p/p reduce on round 0's add.  Rounds 1+ always see
+    reduced values, so the fast path is exact there regardless.
     """
-    s = tuple(fs.rc_add(s[i], _rc_row(rc, 0, i)) for i in range(3))
+    if full_round0_add:
+        # Wrap-at-2^256 (dropped carry) + full 4p/2p/p reduce: the oracle's
+        # add for ANY canonical 256-bit state.
+        s = tuple(
+            fs.red(fs.carry(fs.add_scalar_digits(s[i], _rc_row(rc, 0, i)))[0])
+            for i in range(3)
+        )
+    else:
+        s = tuple(fs.rc_add(s[i], _rc_row(rc, 0, i)) for i in range(3))
 
     # Three fori_loop phases, NOT one loop with a cond switch: Mosaic
     # predicates both cond branches, which was measured 3x slower end-to-end
@@ -123,20 +139,23 @@ def _make_sponge_kernel(n_inputs: int, ds: int):
     """Pallas kernel: inputs [n, 16, S, L] -> state[1] digits [16, S, L]."""
 
     def kernel(rc_ref, in_ref, out_ref):
-        out_ref[:] = _sponge_body(
-            rc_ref, lambda i: in_ref[i], n_inputs, ds, out_ref.shape[-2:]
-        )
+        with fs.const_cache(out_ref.shape[-2:]):
+            out_ref[:] = _sponge_body(
+                rc_ref, lambda i: in_ref[i], n_inputs, ds, out_ref.shape[-2:]
+            )
 
     return kernel
 
 
 def _permutation_kernel(rc_ref, in_ref, out_ref):
     """Raw batched permutation: [3, 16, S, L] -> [3, 16, S, L] (the analog of
-    batch_permutation_kernel, poseidon_cuda.cu:184-206)."""
-    s = [in_ref[i] for i in range(3)]
-    s = _permute(s, rc_ref)
-    for i in range(3):
-        out_ref[i] = s[i]
+    batch_permutation_kernel, poseidon_cuda.cu:184-206).  States may be any
+    canonical 256-bit values, so round 0 uses the full oracle add."""
+    with fs.const_cache(out_ref.shape[-2:]):
+        s = [in_ref[i] for i in range(3)]
+        s = _permute(s, rc_ref, full_round0_add=True)
+        for i in range(3):
+            out_ref[i] = s[i]
 
 
 def _on_tpu() -> bool:
@@ -175,7 +194,8 @@ def _sponge_pallas(inputs: jnp.ndarray, ds: int) -> jnp.ndarray:
     if not _on_tpu():
         # Portable compiled path: same slab program over the whole batch.
         rc = jnp.asarray(RC_TABLE)
-        out = _sponge_body(rc, lambda i: xt[i], n, ds, (rows, LANES))
+        with fs.const_cache((rows, LANES)):
+            out = _sponge_body(rc, lambda i: xt[i], n, ds, (rows, LANES))
         return _from_tiles(out, b, bp)
     grid = (rows // SUBLANE_TILE,)
     out = pl.pallas_call(
@@ -228,7 +248,8 @@ def permutation_pallas(states: jnp.ndarray) -> jnp.ndarray:
     rows = bp // LANES
     if not _on_tpu():
         rc = jnp.asarray(RC_TABLE)
-        s = _permute([xt[i] for i in range(3)], rc)
+        with fs.const_cache((rows, LANES)):
+            s = _permute([xt[i] for i in range(3)], rc, full_round0_add=True)
         out = jnp.stack(s, axis=0)
     else:
         grid = (rows // SUBLANE_TILE,)

@@ -108,50 +108,70 @@ def _mds_layer(s):
     return tuple(out)
 
 
-def _full_round(s, rc):
-    """RC-add -> x^5 on all lanes -> MDS (poseidon.cpp:69-72,77-80)."""
-    s = tuple(fr.add_rr(s[i], rc[i]) for i in range(T))
-    s = tuple(fr.power5(x) for x in s)
-    return _mds_layer(s)
+# Round r's constant paired with round r-1's MDS output: the scan body is
+# sbox -> MDS -> add RC[r+1], with round 0's RC-add hoisted out (it is the
+# only add whose left operand may be unreduced) and a zero constant after the
+# final round (add_rr(x, 0) == x bit-exactly for reduced x).
+_RC_NEXT = np.concatenate(
+    [RC_DIGITS[1:], np.zeros((1, T, fr.NDIGITS), np.uint32)], axis=0
+)
 
 
-def _partial_round(s, rc):
-    """RC-add -> x^5 on lane 0 only -> MDS (poseidon.cpp:74-75)."""
-    s = tuple(fr.add_rr(s[i], rc[i]) for i in range(T))
-    s = (fr.power5(s[0]), s[1], s[2])
-    return _mds_layer(s)
-
-
-def _permute_tuple(s):
+def _permute_tuple(s, full_round0_add: bool = False):
     """64-round permutation on a tuple of 3 ``[..., 16]`` digit arrays.
 
     ONE scan over all 64 rounds with a ``lax.cond`` full/partial S-box
     switch: the round body compiles once (three separate scan phases were
-    measured to compile ~3x slower in composition)."""
+    measured to compile ~3x slower in composition).
+
+    ``full_round0_add``: the sponge feeds reduced state (< p), where
+    ``add_rr``'s single conditional subtract equals the oracle add exactly.
+    The public raw permutation may see arbitrary canonical 256-bit state
+    (the reference's batch_permutation adds with full reduction) — it passes
+    True so round 0 uses the oracle's full wrap-at-2^256 add."""
+    add0 = fr.add if full_round0_add else fr.add_rr
+    rc0 = jnp.asarray(RC_DIGITS[0])
+    s = tuple(add0(s[i], rc0[i]) for i in range(T))
 
     def step(carry, xs):
-        rc, is_full = xs
-        st = tuple(fr.add_rr(carry[i], rc[i]) for i in range(T))
+        rc_next, is_full = xs
         st = jax.lax.cond(
             is_full,
             lambda t: tuple(fr.power5(x) for x in t),
             lambda t: (fr.power5(t[0]), t[1], t[2]),
-            st,
+            carry,
         )
-        return _mds_layer(st), None
+        st = _mds_layer(st)
+        return tuple(fr.add_rr(st[i], rc_next[i]) for i in range(T)), None
 
     s, _ = jax.lax.scan(
-        step, s, (jnp.asarray(RC_DIGITS), jnp.asarray(_IS_FULL))
+        step, s, (jnp.asarray(_RC_NEXT), jnp.asarray(_IS_FULL))
     )
     return s
 
 
 @jax.jit
-def permutation(state: jnp.ndarray) -> jnp.ndarray:
-    """Poseidon permutation on ``[..., 3, 16]`` states (poseidon.cpp:60-87)."""
+def _permutation_flat(state: jnp.ndarray) -> jnp.ndarray:
     s = tuple(state[..., i, :] for i in range(T))
-    s = _permute_tuple(s)
+    s = _permute_tuple(s, full_round0_add=True)
     return jnp.stack(s, axis=-2)
+
+
+def permutation(state: jnp.ndarray) -> jnp.ndarray:
+    """Poseidon permutation on ``[..., 3, 16]`` states (poseidon.cpp:60-87).
+    States may be any canonical 256-bit values (round 0 adds with the full
+    oracle semantics, like the reference's batch_permutation)."""
+    state = jnp.asarray(state, jnp.uint32)
+    batch_shape = state.shape[:-2]
+    flat = state.reshape((-1, T, fr.NDIGITS))
+    b = flat.shape[0]
+    bp = _bucket(b)
+    if bp != b:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((bp - b, T, fr.NDIGITS), jnp.uint32)], axis=0
+        )
+    out = _permutation_flat(flat)[:b]
+    return out.reshape(batch_shape + (T, fr.NDIGITS))
 
 
 def _sponge(inputs: jnp.ndarray, domain_separator: int) -> jnp.ndarray:
@@ -181,27 +201,59 @@ def _sponge(inputs: jnp.ndarray, domain_separator: int) -> jnp.ndarray:
     return s[1]
 
 
+# ---------------------------------------------------------------------------
+# Public batched APIs.
+#
+# Each call is normalized to a flat ``[B, n, 16]`` batch with B padded to a
+# power-of-two bucket (>= 8): arbitrary leading batch shapes all reuse a
+# log-bounded set of compiled executables instead of one per exact shape.
+# (XLA compiles the 64-round sponge in minutes on the CPU backend — compile
+# reuse, not runtime, is what this buys; zero-padding rows are sliced off.)
+# ---------------------------------------------------------------------------
+
+_sponge_flat = jax.jit(_sponge, static_argnums=1)
 sponge = jax.jit(_sponge, static_argnums=1)
 
 
-@jax.jit
+def _bucket(b: int) -> int:
+    """Next power of two >= max(b, 8)."""
+    return 1 << max(3, (b - 1).bit_length()) if b > 1 else 8
+
+
+def _sponge_bucketed(inputs: jnp.ndarray, ds: int) -> jnp.ndarray:
+    """[..., n, 16] -> [..., 16] through the flat bucketed executable."""
+    inputs = jnp.asarray(inputs, jnp.uint32)
+    batch_shape = inputs.shape[:-2]
+    n = inputs.shape[-2]
+    flat = inputs.reshape((-1, n, fr.NDIGITS))
+    b = flat.shape[0]
+    bp = _bucket(b)
+    if bp != b:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((bp - b, n, fr.NDIGITS), jnp.uint32)], axis=0
+        )
+    out = _sponge_flat(flat, ds)[:b]
+    return out.reshape(batch_shape + (fr.NDIGITS,))
+
+
 def hash_single(x: jnp.ndarray) -> jnp.ndarray:
     """Batched single-input hash, ds=1 (poseidon.cpp:89-91). [...,16]->[...,16]."""
-    return _sponge(x[..., None, :], DS_SINGLE)
+    x = jnp.asarray(x, jnp.uint32)
+    return _sponge_bucketed(x[..., None, :], DS_SINGLE)
 
 
-@jax.jit
 def hash_pair(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     """Batched pair hash, ds=2 (poseidon.cpp:93-96)."""
-    left, right = jnp.broadcast_arrays(left, right)
-    return _sponge(jnp.stack([left, right], axis=-2), DS_PAIR)
+    left, right = jnp.broadcast_arrays(
+        jnp.asarray(left, jnp.uint32), jnp.asarray(right, jnp.uint32)
+    )
+    return _sponge_bucketed(jnp.stack([left, right], axis=-2), DS_PAIR)
 
 
-@jax.jit
 def hash_multiple(inputs: jnp.ndarray) -> jnp.ndarray:
     """Batched n-input hash, ds=3 (poseidon.cpp:98-101). ``[..., n, 16]`` with
     static n -> ``[..., 16]``."""
-    return _sponge(inputs, DS_MULTIPLE)
+    return _sponge_bucketed(inputs, DS_MULTIPLE)
 
 
 # ---------------------------------------------------------------------------

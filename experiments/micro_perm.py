@@ -1,0 +1,115 @@
+"""Time the real 64-round permutation kernel vs a static-RC unrolled variant.
+
+Isolates the cost of (a) traced SMEM RC reads inside fori_loop phases vs
+(b) fully-unrolled rounds with RC digits as compile-time immediates.
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuzk_tpu import oracle
+from cuzk_tpu.ops import fieldslab as fs
+from cuzk_tpu.ops import poseidon_pallas as pp
+
+ROWS = 8
+LANES = 128
+TILES = int(os.environ.get("PERM_TILES", "8"))
+REPEAT = int(os.environ.get("PERM_REPEAT", "8"))  # permutations per kernel call
+
+
+def _unrolled_permute(s):
+    """All 64 rounds unrolled with RC as Python-int immediates."""
+    rcs = [
+        [
+            [(oracle.RC[oracle.T * r + i] >> (16 * d)) & 0xFFFF for d in range(16)]
+            for i in range(3)
+        ]
+        for r in range(64)
+    ]
+    s = tuple(fs.rc_add(s[i], rcs[0][i]) for i in range(3))
+    for r in range(64):
+        nxt = rcs[r + 1] if r + 1 < 64 else None
+        if r < 4 or r >= 60:
+            sb = [fs.power5(x) for x in s]
+        else:
+            sb = [fs.power5(s[0]), s[1], s[2]]
+        s = tuple(fs.mds_rc_fused(sb, nxt))
+    return s
+
+
+def kernel_real(rc_ref, in_ref, out_ref):
+    with fs.const_cache(out_ref.shape[-2:]):
+        s = [in_ref[i] for i in range(3)]
+        for _ in range(REPEAT):
+            s = list(pp._permute(s, rc_ref))
+        for i in range(3):
+            out_ref[i] = s[i]
+
+
+def kernel_unrolled(in_ref, out_ref):
+    with fs.const_cache(out_ref.shape[-2:]):
+        s = [in_ref[i] for i in range(3)]
+        for _ in range(REPEAT):
+            s = list(_unrolled_permute(s))
+        for i in range(3):
+            out_ref[i] = s[i]
+
+
+def run(which):
+    rng = np.random.default_rng(3)
+    rows = ROWS * TILES
+    x = jnp.asarray(rng.integers(0, 1 << 16, (3, 16, rows, LANES), np.uint32))
+    if which == "real":
+        fn = jax.jit(
+            lambda v: pl.pallas_call(
+                kernel_real,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(TILES,),
+                    in_specs=[pl.BlockSpec((3, 16, ROWS, LANES), lambda r, *_: (0, 0, r, 0), memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec((3, 16, ROWS, LANES), lambda r, *_: (0, 0, r, 0), memory_space=pltpu.VMEM),
+                ),
+                out_shape=jax.ShapeDtypeStruct((3, 16, rows, LANES), jnp.uint32),
+            )(jnp.asarray(pp.RC_TABLE), v)
+        )
+    else:
+        fn = jax.jit(
+            lambda v: pl.pallas_call(
+                kernel_unrolled,
+                grid=(TILES,),
+                in_specs=[pl.BlockSpec((3, 16, ROWS, LANES), lambda r: (0, 0, r, 0), memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((3, 16, ROWS, LANES), lambda r: (0, 0, r, 0), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((3, 16, rows, LANES), jnp.uint32),
+            )(v)
+        )
+    t0 = time.perf_counter()
+    out = fn(x)
+    first = np.asarray(out[0, 0])
+    compile_s = time.perf_counter() - t0
+    # correctness: one lane vs oracle
+    v0 = [sum(int(np.asarray(out)[i, d, 0, 0]) << (16 * d) for d in range(16)) for i in range(3)]
+    s0 = [sum(int(np.asarray(x)[i, d, 0, 0]) << (16 * d) for d in range(16)) for i in range(3)]
+    exp = s0
+    for _ in range(REPEAT):
+        exp = oracle.permutation(exp)
+    ok = v0 == exp
+    reps = 4
+    t0 = time.perf_counter()
+    outs = [fn(x) for _ in range(reps)]
+    _ = np.asarray(outs[-1][0, 0])
+    dt = (time.perf_counter() - t0) / reps
+    n = rows * LANES
+    ns = dt / (REPEAT * n) * 1e9
+    print(
+        f"{which:9s} {ns:7.2f} ns/perm/elem  ({dt*1e3:.2f} ms, compile {compile_s:.0f}s, exact={'OK' if ok else 'FAIL'})",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    for w in sys.argv[1:] or ["real", "unrolled"]:
+        run(w)

@@ -15,9 +15,12 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in _flags:
+    # The CPU backend takes minutes to O2-compile the 64-round sponge; O0
+    # halves compile time and tests only run tiny batches (runtime is noise).
+    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -30,12 +33,54 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # The environment's TPU platform plugin overrides JAX_PLATFORMS at import
 # time; pin the config explicitly as well.
+import gc
+
+# JAX tracing allocates millions of short-lived objects; under pytest's
+# large live-object population the default GC thresholds make every trace
+# trigger frequent full collections (measured ~15x compile slowdowns).
+# Raise the gen0 threshold and freeze the startup heap.
+gc.freeze()
+gc.set_threshold(200_000, 100, 100)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/cuzk_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-try:
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-except Exception:
-    pass
+if os.environ.get("CUZK_NO_COMPILE_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/cuzk_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: do NOT enable jax_persistent_cache_enable_xla_caches='all' — the
+# CPU-backend AOT serialization it forces makes every compile ~10x slower.
+
+
+# ---------------------------------------------------------------------------
+# Run every test in a fresh worker thread.
+#
+# JAX tracing cost scales with Python stack DEPTH (per-primitive bookkeeping
+# walks live frames); pytest adds ~40 frames, which measured as a ~12x
+# slowdown on our 100K-primitive traces.  A worker thread starts at depth ~2,
+# restoring plain-python compile times.
+# ---------------------------------------------------------------------------
+
+import threading
+
+
+def pytest_pyfunc_call(pyfuncitem):
+    testfunction = pyfuncitem.obj
+    kwargs = {
+        name: pyfuncitem.funcargs[name]
+        for name in pyfuncitem._fixtureinfo.argnames
+    }
+    outcome = {}
+
+    def run():
+        try:
+            testfunction(**kwargs)
+        except BaseException as e:  # noqa: BLE001 — re-raised in main thread
+            outcome["exc"] = e
+
+    t = threading.Thread(target=run, name="cuzk-test-runner")
+    t.start()
+    t.join()
+    if "exc" in outcome:
+        raise outcome["exc"]
+    return True

@@ -174,3 +174,16 @@ def test_pallas_nonaligned_batch_sizes():
         xs = rand_reduced(b)
         got = fr.array_to_ints(hash_single_pallas(fr.ints_to_array(xs)))
         assert got == [oracle.hash_single(x) for x in xs]
+
+
+def test_pallas_permutation_unreduced_states():
+    """Public raw permutation on arbitrary canonical states must match the
+    oracle bit-for-bit (round 0 uses the full wrap-at-2^256 add)."""
+    states = [[rng.randrange(1 << 256) for _ in range(3)] for _ in range(4)]
+    states.append([(1 << 256) - 1, (1 << 256) - oracle.RC[1], oracle.P])
+    arr = np.stack([fr.ints_to_array(s) for s in states])
+    got = fr.array_to_ints(permutation_pallas(arr).reshape(-1, fr.NDIGITS))
+    want = []
+    for s in states:
+        want.extend(oracle.permutation(s))
+    assert got == want

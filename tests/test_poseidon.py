@@ -95,3 +95,19 @@ def test_pair_asymmetry_and_sensitivity():
     hba = poseidon.hash_pair_int(b, a)
     assert hab != hba
     assert poseidon.hash_single_int(a) != poseidon.hash_single_int(a ^ 1)
+
+
+def test_permutation_unreduced_states_match_oracle():
+    """Round 0's RC-add is the only op that can see unreduced state; the
+    public permutation must use the oracle's full wrap-at-2^256 add there
+    (the reference's batch_permutation adds with full reduction,
+    poseidon_cuda.cu:184-206)."""
+    states = [[rng.randrange(1 << 256) for _ in range(3)] for _ in range(8)]
+    # Include adversarial wrap cases: state + RC[i] crossing 2^256.
+    states.append([(1 << 256) - 1, (1 << 256) - oracle.RC[1], oracle.P])
+    arr = np.stack([fr.ints_to_array(s) for s in states])
+    got = fr.array_to_ints(poseidon.permutation(arr))
+    want = []
+    for s in states:
+        want.extend(oracle.permutation(s))
+    assert got == want
