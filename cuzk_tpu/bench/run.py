@@ -204,6 +204,32 @@ def bench_sharded_build(
     }
 
 
+def bench_weak_scaling(
+    leaves_per_device: int, arity: int, max_devices: int = None, iters: int = 3
+) -> List[Dict]:
+    """Weak-scaling sweep: constant leaves PER DEVICE while the mesh grows
+    (1, 2, 4, ... devices).  Efficiency = throughput(d) / (d x throughput(1));
+    the north-star target is >= 0.80 at 1M leaves, arity 8 (BASELINE.md)."""
+    import jax
+
+    n_avail = len(jax.devices())
+    counts = []
+    d = 1
+    while d <= (max_devices or n_avail):
+        counts.append(d)
+        d *= 2
+    results = []
+    base_tps = None
+    for d in counts:
+        res = bench_sharded_build(leaves_per_device * d, arity, d, iters=iters)
+        res["suite"] = "weak_scaling"
+        if base_tps is None:
+            base_tps = res["leaves_per_s"]
+        res["efficiency"] = round(res["leaves_per_s"] / (d * base_tps), 4)
+        results.append(res)
+    return results
+
+
 # Reference poseidon_benchmark configs (benchmark.cpp:213-235).
 POSEIDON_CONFIGS = [
     (512, 10_000, "Small Scale"),
@@ -227,6 +253,11 @@ def main() -> None:
     parser.add_argument("--leaves", type=int, default=50_000)
     parser.add_argument("--arity", type=int, default=4)
     parser.add_argument("--proofs", type=int, default=5_000)
+    parser.add_argument(
+        "--weak",
+        action="store_true",
+        help="scaling suite: weak-scaling sweep (--leaves = leaves PER device)",
+    )
     parser.add_argument("--skip-verify", action="store_true")
     args = parser.parse_args()
 
@@ -261,9 +292,16 @@ def main() -> None:
         print(json.dumps(res))
 
     if args.suite == "scaling":
-        res = bench_sharded_build(args.leaves, args.arity, args.devices)
-        results.append(res)
-        print(json.dumps(res))
+        if args.weak:
+            for res in bench_weak_scaling(
+                args.leaves, args.arity, args.devices
+            ):
+                results.append(res)
+                print(json.dumps(res))
+        else:
+            res = bench_sharded_build(args.leaves, args.arity, args.devices)
+            results.append(res)
+            print(json.dumps(res))
 
 
 if __name__ == "__main__":

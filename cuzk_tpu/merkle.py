@@ -244,11 +244,19 @@ def verify_proofs(
     positions, siblings, leaves, root, arity: int
 ) -> jnp.ndarray:
     """Per-proof validity ``[k] bool``. ``positions [k,h]``, ``siblings
-    [k,h,a-1,16]``, ``leaves [k,16]``, ``root [16]``."""
+    [k,h,a-1,16]``, ``leaves [k,16]``, ``root [16]``.
+
+    On TPU all levels run in ONE fused kernel with the running digest
+    resident in VMEM; elsewhere the portable per-level batched path runs
+    (bit-identical — differentially tested)."""
     positions = jnp.asarray(positions, jnp.int32)
     siblings = jnp.asarray(siblings, jnp.uint32)
     leaves = jnp.asarray(leaves, jnp.uint32)
     root = jnp.asarray(root, jnp.uint32)
+    if jax.default_backend() in ("tpu", "axon") and positions.shape[1] > 0:
+        from cuzk_tpu.ops import verify_proofs_pallas
+
+        return verify_proofs_pallas(positions, siblings, leaves, root, arity)
     return _verify_batch(arity, positions, siblings, leaves, root)
 
 

@@ -12,6 +12,7 @@ from cuzk_tpu.ops.poseidon_pallas import (
     hash_pair_pallas,
     hash_multiple_pallas,
     permutation_pallas,
+    verify_proofs_pallas,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "hash_pair_pallas",
     "hash_multiple_pallas",
     "permutation_pallas",
+    "verify_proofs_pallas",
 ]

@@ -135,38 +135,214 @@ def _sponge_body(rc, get_input, n_inputs: int, ds: int, batch_shape):
     return s[1]
 
 
-def _make_sponge_kernel(n_inputs: int, ds: int):
-    """Pallas kernel: inputs [n, 16, S, L] -> state[1] digits [16, S, L]."""
+def _sponge_body_dyn(rc, inputs, n, ds, batch_shape):
+    """Width-dynamic sponge on slabs: ``inputs [W, 16, *batch]`` zero-padded
+    to even static W, true count ``n`` and domain separator ``ds`` as
+    runtime scalars.  ceil(n/2) dynamic absorb blocks; absorbing a padded
+    zero is bit-exactly a no-op (add(x, 0) == x for the reduced state).
+    One executable per batch bucket serves every width <= W and every ds."""
+    zero = jnp.zeros((ND,) + tuple(batch_shape), jnp.uint32)
+    ds_slab = jnp.concatenate(
+        [jnp.full((1,) + tuple(batch_shape), ds.astype(jnp.uint32)), zero[1:]],
+        axis=0,
+    )
 
-    def kernel(rc_ref, in_ref, out_ref):
+    w = inputs.shape[0]
+
+    def pick(idx):
+        # Mosaic has no dynamic_slice on values: a select chain over the
+        # <= 8 static input slots (~100 vector ops, noise next to the
+        # permutation) picks the absorbed element.
+        out = inputs[0]
+        for j in range(1, w):
+            out = jnp.where(idx == j, inputs[j], out)
+        return out
+
+    def block(bi, s):
+        s0, s1, s2 = s
+        i0 = 2 * bi
+        s1 = fs.add_wrap_red(s1, pick(i0))
+        s2 = fs.add_wrap_red(s2, pick(i0 + 1))
+        return tuple(_permute([s0, s1, s2], rc))
+
+    n_blocks = (n.astype(jnp.int32) + 1) // 2
+    s = jax.lax.fori_loop(0, n_blocks, block, (ds_slab, zero, zero))
+    return s[1]
+
+
+def _sponge_kernel_dyn(rc_ref, sc_ref, in_ref, out_ref):
+    """Pallas kernel: inputs [W, 16, S, L] -> state[1] digits [16, S, L].
+
+    ``sc_ref``: [n_active_tiles, n_inputs, ds] runtime scalars.  Grid
+    lengths are power-of-two bucketed (one executable per bucket, see
+    ``_to_tiles``); tiles past ``sc_ref[0]`` hold only padding and skip the
+    permutation entirely — bucketing costs compile reuse, not compute."""
+
+    @pl.when(pl.program_id(0) < sc_ref[0])
+    def _():
         with fs.const_cache(out_ref.shape[-2:]):
-            out_ref[:] = _sponge_body(
-                rc_ref, lambda i: in_ref[i], n_inputs, ds, out_ref.shape[-2:]
+            out_ref[:] = _sponge_body_dyn(
+                rc_ref, in_ref[:], sc_ref[1], sc_ref[2], out_ref.shape[-2:]
             )
 
-    return kernel
 
-
-def _permutation_kernel(rc_ref, in_ref, out_ref):
+def _permutation_kernel(rc_ref, nt_ref, in_ref, out_ref):
     """Raw batched permutation: [3, 16, S, L] -> [3, 16, S, L] (the analog of
     batch_permutation_kernel, poseidon_cuda.cu:184-206).  States may be any
     canonical 256-bit values, so round 0 uses the full oracle add."""
-    with fs.const_cache(out_ref.shape[-2:]):
-        s = [in_ref[i] for i in range(3)]
-        s = _permute(s, rc_ref, full_round0_add=True)
-        for i in range(3):
-            out_ref[i] = s[i]
+    @pl.when(pl.program_id(0) < nt_ref[0])
+    def _():
+        with fs.const_cache(out_ref.shape[-2:]):
+            s = [in_ref[i] for i in range(3)]
+            s = _permute(s, rc_ref, full_round0_add=True)
+            for i in range(3):
+                out_ref[i] = s[i]
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+# ---------------------------------------------------------------------------
+# Fused batch proof verification — ONE kernel walks every proof level with
+# the running digest resident in VMEM (the TPU analog of
+# batch_verify_proofs_kernel, merkle_tree_cuda.cu:67-118; the per-level
+# host-driven alternative spends more time re-tiling between levels than
+# hashing).
+# ---------------------------------------------------------------------------
+
+def _make_verify_kernel(arity: int, height: int):
+    """Kernel: (rc, nt, pos [h,S,L], sibs [h,a-1,16,S,L], leaf [16,S,L]) ->
+    recomputed root digits [16, S, L]."""
+
+    def kernel(rc_ref, nt_ref, pos_ref, sib_ref, leaf_ref, out_ref):
+        @pl.when(pl.program_id(0) < nt_ref[0])
+        def _():
+            with fs.const_cache(out_ref.shape[-2:]):
+                cur = leaf_ref[:]
+                # Static unroll over levels: the per-level child-group build
+                # (current node at its proof position, siblings around it —
+                # merkle_tree.cpp:224-253) feeds the sponge directly.
+                for lvl in range(height):
+                    pos = pos_ref[lvl]
+
+                    def get_input(j, _pos=pos, _lvl=lvl, _cur=cur):
+                        below = sib_ref[_lvl, min(j, arity - 2)]
+                        above = sib_ref[_lvl, max(j - 1, 0)]
+                        cand = jnp.where(
+                            (jnp.int32(j) > _pos)[None], above, below
+                        )
+                        return jnp.where(
+                            (jnp.int32(j) == _pos)[None], _cur, cand
+                        )
+
+                    cur = _sponge_body(
+                        rc_ref, get_input, arity, oracle.DS_MULTIPLE,
+                        out_ref.shape[-2:],
+                    )
+                out_ref[:] = cur
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _verify_chain(positions, siblings, leaves, n_active, arity: int,
+                  height: int):
+    """Fused tile->kernel->untile verification chain on BUCKET-PADDED
+    element-major proofs: ``positions [BP, h]``, ``siblings
+    [BP, h, a-1, 16]``, ``leaves [BP, 16]`` -> recomputed roots [BP, 16].
+    One dispatch per call (see _sponge_chain on why that matters)."""
+    bp, h = positions.shape
+    rows = bp // LANES
+    pos_t = positions.T.reshape(h, rows, LANES)
+    sib_t = jnp.transpose(siblings, (1, 2, 3, 0)).reshape(
+        h, arity - 1, ND, rows, LANES
+    )
+    leaf_t = jnp.transpose(leaves, (1, 0)).reshape(ND, rows, LANES)
+    out = _verify_tiles(pos_t, sib_t, leaf_t, n_active, arity, height)
+    return out.reshape(ND, bp).T
+
+
+def _verify_tiles(pos_t, sib_t, leaf_t, n_active, arity: int, height: int):
+    """Fused verification kernel call over pre-tiled proof tensors (rows
+    bucketed, ``n_active`` dynamic)."""
+    rows = leaf_t.shape[1]
+    grid = (rows // SUBLANE_TILE,)
+    return pl.pallas_call(
+        _make_verify_kernel(arity, height),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (height, SUBLANE_TILE, LANES),
+                    lambda r, *_: (0, r, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (height, arity - 1, ND, SUBLANE_TILE, LANES),
+                    lambda r, *_: (0, 0, 0, r, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (ND, SUBLANE_TILE, LANES),
+                    lambda r, *_: (0, r, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (ND, SUBLANE_TILE, LANES),
+                lambda r, *_: (0, r, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((ND, rows, LANES), jnp.uint32),
+    )(jnp.asarray(RC_TABLE), n_active, pos_t, sib_t, leaf_t)
+
+
+def verify_proofs_pallas(positions, siblings, leaves, root, arity: int):
+    """Fused batch Merkle-proof verification on TPU.
+
+    ``positions [k, h] int32``, ``siblings [k, h, a-1, 16]``,
+    ``leaves [k, 16]``, ``root [16]`` -> ``[k] bool``.
+    """
+    positions = jnp.asarray(positions, jnp.int32)
+    siblings = jnp.asarray(siblings, jnp.uint32)
+    leaves = jnp.asarray(leaves, jnp.uint32)
+    root = jnp.asarray(root, jnp.uint32)
+    k, h = positions.shape
+    if h == 0:
+        return jnp.all(leaves == root[None, :], axis=-1)
+    tile = SUBLANE_TILE * LANES
+    n_tiles = max(1, -(-k // tile))
+    bp = (1 << (n_tiles - 1).bit_length()) * tile
+    if bp != k:
+        positions = jnp.zeros((bp, h), jnp.int32).at[:k].set(positions)
+        siblings = (
+            jnp.zeros((bp,) + siblings.shape[1:], jnp.uint32)
+            .at[:k]
+            .set(siblings)
+        )
+        leaves = jnp.zeros((bp, ND), jnp.uint32).at[:k].set(leaves)
+    out = _verify_chain(
+        positions, siblings, leaves, _scalars((k + tile - 1) // tile),
+        arity, h,
+    )
+    ok = jnp.all(out == root[None, :], axis=-1)  # [bp]
+    return ok if bp == k else ok[:k]
+
+
 def _to_tiles(x: jnp.ndarray):
-    """[B, k, 16] -> ([k, 16, R, 128], B, padded B): digit-major row tiles."""
+    """[B, k, 16] -> ([k, 16, R, 128], B, padded B): digit-major row tiles.
+
+    B pads to a power-of-two number of tiles: every distinct grid length is
+    its own compiled executable (minutes each over a tunneled backend), and
+    bucketing bounds the set logarithmically.  Power-of-arity Merkle levels
+    and power-of-two hash batches pad by zero rows."""
     b = x.shape[0]
     tile = SUBLANE_TILE * LANES
-    bp = max(tile, ((b + tile - 1) // tile) * tile)
+    n_tiles = max(1, -(-b // tile))
+    bp = (1 << (n_tiles - 1).bit_length()) * tile
     if bp > b:
         x = jnp.concatenate(
             [x, jnp.zeros((bp - b,) + x.shape[1:], jnp.uint32)], axis=0
@@ -182,30 +358,38 @@ def _from_tiles(out: jnp.ndarray, b: int, bp: int) -> jnp.ndarray:
     return out.reshape(ND, bp).T[:b]
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _sponge_pallas(inputs: jnp.ndarray, ds: int) -> jnp.ndarray:
-    """Batched sponge over ``[B, n, 16]`` digit arrays (static n)."""
-    b, n = inputs.shape[0], inputs.shape[1]
-    if n == 0:
-        # Empty input: no permutation, state[1] stays 0 (SURVEY.md B.4).
-        return jnp.zeros((b, ND), jnp.uint32)
-    xt, b, bp = _to_tiles(inputs)
-    rows = bp // LANES
+# Width padding bound shared with the jnp path: all widths <= 8 share one
+# kernel executable per batch bucket.
+PAD_WIDTH = 8
+
+
+@jax.jit
+def _sponge_tiles(xt: jnp.ndarray, scalars: jnp.ndarray):
+    """Jitted width-dynamic sponge over PRE-TILED ``[W, 16, rows, 128]``
+    input; ``scalars = [n_active_tiles, n_inputs, ds]`` (all runtime).
+
+    ``rows`` is power-of-two bucketed by the caller, so this (expensive to
+    compile) executable is reused across all batch sizes in a bucket and
+    every hash width/domain — neither the exact batch size nor the width
+    appears in the program."""
+    rows = xt.shape[2]
     if not _on_tpu():
         # Portable compiled path: same slab program over the whole batch.
         rc = jnp.asarray(RC_TABLE)
         with fs.const_cache((rows, LANES)):
-            out = _sponge_body(rc, lambda i: xt[i], n, ds, (rows, LANES))
-        return _from_tiles(out, b, bp)
+            return _sponge_body_dyn(
+                rc, xt, scalars[1], scalars[2], (rows, LANES)
+            )
     grid = (rows // SUBLANE_TILE,)
-    out = pl.pallas_call(
-        _make_sponge_kernel(n, ds),
+    w = xt.shape[0]
+    return pl.pallas_call(
+        _sponge_kernel_dyn,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (n, ND, SUBLANE_TILE, LANES),
+                    (w, ND, SUBLANE_TILE, LANES),
                     lambda r, *_: (0, 0, r, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -217,62 +401,120 @@ def _sponge_pallas(inputs: jnp.ndarray, ds: int) -> jnp.ndarray:
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((ND, rows, LANES), jnp.uint32),
-    )(jnp.asarray(RC_TABLE), xt)
-    return _from_tiles(out, b, bp)
+    )(jnp.asarray(RC_TABLE), scalars, xt)
+
+
+# Device-resident scalar tuples, cached: a fresh host array per call would
+# cost one host->device transfer per hash call (measured ~10ms per small
+# call over a tunneled backend).
+_SCALAR_CACHE = {}
+
+
+def _scalars(*vals) -> jnp.ndarray:
+    key = tuple(int(v) for v in vals)
+    arr = _SCALAR_CACHE.get(key)
+    if arr is None:
+        arr = jnp.asarray(key, jnp.int32)
+        _SCALAR_CACHE[key] = arr
+    return arr
 
 
 @jax.jit
+def _sponge_chain(padded: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
+    """Full tile->kernel->untile chain on BUCKET-PADDED ``[BP, W, 16]``
+    input: one executable per (batch bucket, width bucket), ONE dispatch per
+    call.  Dependent dispatches cost ~20 ms each over tunneled backends, so
+    chain length — not op cost — dominates small-batch latency."""
+    bp, w = padded.shape[0], padded.shape[1]
+    xt = jnp.transpose(padded, (1, 2, 0)).reshape(w, ND, bp // LANES, LANES)
+    out = _sponge_tiles(xt, scalars)
+    return out.reshape(ND, bp).T
+
+
+def _sponge_pallas(inputs: jnp.ndarray, ds: int) -> jnp.ndarray:
+    """Batched sponge over ``[B, n, 16]`` digit arrays.
+
+    Python-level wrapper: pads batch/width to buckets (at most two tiny
+    eager ops), runs the fused chain, slices the result."""
+    inputs = jnp.asarray(inputs, jnp.uint32)
+    b, n = inputs.shape[0], inputs.shape[1]
+    if n == 0:
+        # Empty input: no permutation, state[1] stays 0 (SURVEY.md B.4).
+        return jnp.zeros((b, ND), jnp.uint32)
+    w = max(PAD_WIDTH, n + (n & 1))
+    tile = SUBLANE_TILE * LANES
+    n_tiles = max(1, -(-b // tile))
+    bp = (1 << (n_tiles - 1).bit_length()) * tile
+    if w != n or bp != b:
+        padded = jnp.zeros((bp, w, ND), jnp.uint32).at[:b, :n].set(inputs)
+    else:
+        padded = inputs
+    out = _sponge_chain(padded, _scalars((b + tile - 1) // tile, n, ds))
+    return out if bp == b else out[:b]
+
+
 def hash_single_pallas(x: jnp.ndarray) -> jnp.ndarray:
     """Batched single-input hash, ds=1 (poseidon.cpp:89-91): [B,16]->[B,16]."""
+    x = jnp.asarray(x, jnp.uint32)
     return _sponge_pallas(x[:, None, :], oracle.DS_SINGLE)
 
 
-@jax.jit
 def hash_pair_pallas(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     """Batched pair hash, ds=2 (poseidon.cpp:93-96)."""
     return _sponge_pallas(
-        jnp.stack([left, right], axis=1), oracle.DS_PAIR
+        jnp.stack(
+            [jnp.asarray(left, jnp.uint32), jnp.asarray(right, jnp.uint32)],
+            axis=1,
+        ),
+        oracle.DS_PAIR,
     )
 
 
-@jax.jit
 def hash_multiple_pallas(inputs: jnp.ndarray) -> jnp.ndarray:
     """Batched n-input hash, ds=3 (poseidon.cpp:98-101): [B,n,16]->[B,16]."""
     return _sponge_pallas(inputs, oracle.DS_MULTIPLE)
 
 
 @jax.jit
-def permutation_pallas(states: jnp.ndarray) -> jnp.ndarray:
-    """Raw batched permutation on ``[B, 3, 16]`` states."""
-    xt, b, bp = _to_tiles(states)  # [3, 16, R, 128]
-    rows = bp // LANES
+def _permutation_tiles(xt: jnp.ndarray, n_active: jnp.ndarray):
+    """Jitted raw permutation over pre-tiled ``[3, 16, rows, 128]`` states
+    (rows bucketed, ``n_active`` dynamic — see :func:`_sponge_tiles`)."""
+    rows = xt.shape[2]
     if not _on_tpu():
         rc = jnp.asarray(RC_TABLE)
         with fs.const_cache((rows, LANES)):
             s = _permute([xt[i] for i in range(3)], rc, full_round0_add=True)
-        out = jnp.stack(s, axis=0)
-    else:
-        grid = (rows // SUBLANE_TILE,)
-        out = pl.pallas_call(
-            _permutation_kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=grid,
-                in_specs=[
-                    pl.BlockSpec(
-                        (3, ND, SUBLANE_TILE, LANES),
-                        lambda r, *_: (0, 0, r, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                out_specs=pl.BlockSpec(
+        return jnp.stack(s, axis=0)
+    grid = (rows // SUBLANE_TILE,)
+    return pl.pallas_call(
+        _permutation_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
                     (3, ND, SUBLANE_TILE, LANES),
                     lambda r, *_: (0, 0, r, 0),
                     memory_space=pltpu.VMEM,
                 ),
+            ],
+            out_specs=pl.BlockSpec(
+                (3, ND, SUBLANE_TILE, LANES),
+                lambda r, *_: (0, 0, r, 0),
+                memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((3, ND, rows, LANES), jnp.uint32),
-        )(jnp.asarray(RC_TABLE), xt)
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, ND, rows, LANES), jnp.uint32),
+    )(jnp.asarray(RC_TABLE), n_active, xt)
+
+
+def permutation_pallas(states: jnp.ndarray) -> jnp.ndarray:
+    """Raw batched permutation on ``[B, 3, 16]`` states (any canonical
+    256-bit values — the analog of batch_permutation)."""
+    states = jnp.asarray(states, jnp.uint32)
+    xt, b, bp = _to_tiles(states)  # [3, 16, R, 128]
+    tile = SUBLANE_TILE * LANES
+    out = _permutation_tiles(xt, _scalars((b + tile - 1) // tile))
     # [3, 16, R, 128] -> [B, 3, 16]
     res = out.reshape(3, ND, bp).transpose(2, 0, 1)
     return res[:b]

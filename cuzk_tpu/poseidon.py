@@ -201,6 +201,40 @@ def _sponge(inputs: jnp.ndarray, domain_separator: int) -> jnp.ndarray:
     return s[1]
 
 
+def _sponge_dyn(inputs: jnp.ndarray, n: jnp.ndarray, ds: jnp.ndarray):
+    """Width-DYNAMIC sponge: ``inputs [B, W, 16]`` zero-padded to an even
+    static width W, with the true input count ``n`` and domain separator
+    ``ds`` as runtime scalars.
+
+    One executable serves every width <= W and every ds: the absorb loop
+    runs ceil(n/2) dynamic iterations, and absorbing a padded zero is
+    bit-exactly a no-op (the oracle add satisfies add(x, 0) == x for the
+    reduced sponge state).  This is what keeps the XLA program count — and
+    with it cold compile time — independent of the hash-width mix."""
+    b = inputs.shape[0]
+    zero = jnp.zeros((b, fr.NDIGITS), jnp.uint32)
+    ds_digits = jnp.zeros((b, fr.NDIGITS), jnp.uint32).at[:, 0].set(
+        ds.astype(jnp.uint32)
+    )
+
+    def block(bi, s):
+        s0, s1, s2 = s
+        i0 = 2 * bi
+        a0 = jax.lax.dynamic_index_in_dim(inputs, i0, axis=1, keepdims=False)
+        a1 = jax.lax.dynamic_index_in_dim(
+            inputs, i0 + 1, axis=1, keepdims=False
+        )
+        s1 = fr.add(s1, a0)
+        s2 = fr.add(s2, a1)
+        return tuple(_permute_tuple((s0, s1, s2)))
+
+    n_blocks = (n.astype(jnp.int32) + 1) // 2
+    s = jax.lax.fori_loop(0, n_blocks, block, (ds_digits, zero, zero))
+    out = s[1]
+    # n == 0: no block ran, state[1] is 0 (SURVEY.md B.4) — already correct.
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Public batched APIs.
 #
@@ -211,8 +245,13 @@ def _sponge(inputs: jnp.ndarray, domain_separator: int) -> jnp.ndarray:
 # reuse, not runtime, is what this buys; zero-padding rows are sliced off.)
 # ---------------------------------------------------------------------------
 
-_sponge_flat = jax.jit(_sponge, static_argnums=1)
+_sponge_flat_dyn = jax.jit(_sponge_dyn)
 sponge = jax.jit(_sponge, static_argnums=1)
+
+# Inputs are width-padded to this many absorbed elements (wider calls pad to
+# the next even width): every hash_single/pair/multiple call with n <= 8
+# shares ONE executable per batch bucket.
+PAD_WIDTH = 8
 
 
 def _bucket(b: int) -> int:
@@ -221,10 +260,13 @@ def _bucket(b: int) -> int:
 
 
 def _sponge_bucketed(inputs: jnp.ndarray, ds: int) -> jnp.ndarray:
-    """[..., n, 16] -> [..., 16] through the flat bucketed executable."""
+    """[..., n, 16] -> [..., 16] through the width-dynamic bucketed
+    executable (see :func:`_sponge_dyn`)."""
     inputs = jnp.asarray(inputs, jnp.uint32)
     batch_shape = inputs.shape[:-2]
     n = inputs.shape[-2]
+    if n == 0:
+        return jnp.zeros(batch_shape + (fr.NDIGITS,), jnp.uint32)
     flat = inputs.reshape((-1, n, fr.NDIGITS))
     b = flat.shape[0]
     bp = _bucket(b)
@@ -232,7 +274,14 @@ def _sponge_bucketed(inputs: jnp.ndarray, ds: int) -> jnp.ndarray:
         flat = jnp.concatenate(
             [flat, jnp.zeros((bp - b, n, fr.NDIGITS), jnp.uint32)], axis=0
         )
-    out = _sponge_flat(flat, ds)[:b]
+    w = max(PAD_WIDTH, n + (n & 1))
+    if w != n:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((bp, w - n, fr.NDIGITS), jnp.uint32)], axis=1
+        )
+    out = _sponge_flat_dyn(
+        flat, jnp.asarray(n, jnp.int32), jnp.asarray(ds, jnp.int32)
+    )[:b]
     return out.reshape(batch_shape + (fr.NDIGITS,))
 
 

@@ -151,3 +151,43 @@ def test_jit_compatible():
     b = fr.ints_to_array(rand_reduced(8))
     jit_mul = jax.jit(fr.mul)
     assert fr.array_to_ints(jit_mul(a, b)) == fr.array_to_ints(fr.mul(a, b))
+
+
+# ---------------------------------------------------------------------------
+# Algebraic property tests, mirroring the reference's property-test style
+# (test_field_arithmetic.cpp:300-369).  Like the reference, the mul
+# properties stay in the small-value regime where the truncated reduction is
+# exact (SURVEY.md §4); add properties hold for all reduced values.
+# ---------------------------------------------------------------------------
+
+def test_add_properties():
+    a, b, c = (fr.ints_to_array([v]) for v in rand_reduced(3))
+    zero = fr.ints_to_array([0])
+    assert fr.array_to_ints(fr.add(a, zero)) == fr.array_to_ints(a)
+    assert fr.array_to_ints(fr.add(a, b)) == fr.array_to_ints(fr.add(b, a))
+    assert fr.array_to_ints(fr.add(fr.add(a, b), c)) == fr.array_to_ints(
+        fr.add(a, fr.add(b, c))
+    )
+
+
+def test_sub_add_roundtrip():
+    xs, ys = rand_reduced(8), rand_reduced(8)
+    a, b = fr.ints_to_array(xs), fr.ints_to_array(ys)
+    got = fr.array_to_ints(fr.add(fr.sub(a, b), b))
+    assert got == [x % oracle.P for x in xs]
+
+
+def test_mul_properties_small_regime():
+    small = [rng.randrange(1 << 120) for _ in range(4)]
+    a, b = fr.ints_to_array(small[:2]), fr.ints_to_array(small[2:])
+    one = fr.ints_to_array([1, 1])
+    assert fr.array_to_ints(fr.mul(a, one)) == [x % oracle.P for x in small[:2]]
+    assert fr.array_to_ints(fr.mul(a, b)) == fr.array_to_ints(fr.mul(b, a))
+
+
+def test_determinism():
+    xs = rand_full(4)
+    a = fr.ints_to_array(xs)
+    r1 = fr.array_to_ints(fr.mul(a, a))
+    r2 = fr.array_to_ints(fr.mul(a, a))
+    assert r1 == r2
