@@ -145,7 +145,7 @@ def bench_merkle_build(n_leaves: int, arity: int, iters: int = 3) -> Dict:
 
 
 def bench_batch_verify(
-    n_proofs: int, n_leaves: int, arity: int, iters: int = 3
+    n_proofs: int, n_leaves: int, arity: int, iters: int = 10
 ) -> Dict:
     import jax
     import jax.numpy as jnp

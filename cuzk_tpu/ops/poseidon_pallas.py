@@ -203,6 +203,18 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _bucket_tiles(n_tiles: int) -> int:
+    """Grid-length bucket for a requested tile count: exact up to 8 tiles,
+    power-of-two above.  Every distinct grid length is its own compiled
+    executable (minutes each over a tunneled backend); this bounds the set to
+    8 + log2 entries while keeping small-batch padding waste at zero and
+    large-batch waste amortized (e.g. a 5K-proof verify runs 5 tiles, not 8 —
+    the pure-power-of-two policy cost 60% extra kernel time there)."""
+    if n_tiles <= 8:
+        return n_tiles
+    return 1 << (n_tiles - 1).bit_length()
+
+
 # ---------------------------------------------------------------------------
 # Fused batch proof verification — ONE kernel walks every proof level with
 # the running digest resident in VMEM (the TPU analog of
@@ -210,6 +222,50 @@ def _on_tpu() -> bool:
 # host-driven alternative spends more time re-tiling between levels than
 # hashing).
 # ---------------------------------------------------------------------------
+
+def _verify_body(rc, pos, sib, leaf, arity: int, height: int, batch_shape,
+                 unroll: bool = True, sponge_body=None):
+    """Root recomputation for one proof tile: ``pos [h, S, L]``, ``sib
+    [h, a-1, 16, S, L]``, ``leaf [16, S, L]`` -> digits ``[16, S, L]``.
+
+    Shared between the Pallas kernel and the portable jnp fallback — indexing
+    ``pos``/``sib`` works over refs and arrays alike.  Per level: the
+    child-group build (current node at its proof position, siblings around
+    it — merkle_tree.cpp:224-253) feeds the sponge directly.
+
+    ``unroll``: the Mosaic kernel statically unrolls the level walk (refs
+    cannot be indexed by traced values; Mosaic compiles the unroll fast).
+    False wraps the walk in a fori_loop instead (exercised by the level-walk
+    unit test; the production non-TPU path in :func:`_verify_tiles` uses the
+    element-major jnp program rather than this slab form, whose XLA:CPU
+    compile takes tens of minutes).
+
+    ``sponge_body``: test hook — tests/test_pallas.py substitutes a cheap
+    stand-in to exercise the level-walk/sibling-select logic without paying
+    a 64-round-permutation compile on the CPU backend (the full composition
+    is differentially tested on TPU hardware, where Mosaic compiles fast)."""
+    if sponge_body is None:
+        sponge_body = _sponge_body
+
+    def level(lvl, cur):
+        p = pos[lvl]
+
+        def get_input(j, _p=p, _sib=sib[lvl], _cur=cur):
+            below = _sib[min(j, arity - 2)]
+            above = _sib[max(j - 1, 0)]
+            cand = jnp.where((jnp.int32(j) > _p)[None], above, below)
+            return jnp.where((jnp.int32(j) == _p)[None], _cur, cand)
+
+        return sponge_body(rc, get_input, arity, oracle.DS_MULTIPLE,
+                           batch_shape)
+
+    if unroll:
+        cur = leaf
+        for lvl in range(height):
+            cur = level(lvl, cur)
+        return cur
+    return jax.lax.fori_loop(0, height, level, leaf)
+
 
 def _make_verify_kernel(arity: int, height: int):
     """Kernel: (rc, nt, pos [h,S,L], sibs [h,a-1,16,S,L], leaf [16,S,L]) ->
@@ -219,39 +275,23 @@ def _make_verify_kernel(arity: int, height: int):
         @pl.when(pl.program_id(0) < nt_ref[0])
         def _():
             with fs.const_cache(out_ref.shape[-2:]):
-                cur = leaf_ref[:]
-                # Static unroll over levels: the per-level child-group build
-                # (current node at its proof position, siblings around it —
-                # merkle_tree.cpp:224-253) feeds the sponge directly.
-                for lvl in range(height):
-                    pos = pos_ref[lvl]
-
-                    def get_input(j, _pos=pos, _lvl=lvl, _cur=cur):
-                        below = sib_ref[_lvl, min(j, arity - 2)]
-                        above = sib_ref[_lvl, max(j - 1, 0)]
-                        cand = jnp.where(
-                            (jnp.int32(j) > _pos)[None], above, below
-                        )
-                        return jnp.where(
-                            (jnp.int32(j) == _pos)[None], _cur, cand
-                        )
-
-                    cur = _sponge_body(
-                        rc_ref, get_input, arity, oracle.DS_MULTIPLE,
-                        out_ref.shape[-2:],
-                    )
-                out_ref[:] = cur
+                out_ref[:] = _verify_body(
+                    rc_ref, pos_ref, sib_ref, leaf_ref[:], arity, height,
+                    out_ref.shape[-2:],
+                )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _verify_chain(positions, siblings, leaves, n_active, arity: int,
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _verify_chain(positions, siblings, leaves, root, n_active, arity: int,
                   height: int):
-    """Fused tile->kernel->untile verification chain on BUCKET-PADDED
-    element-major proofs: ``positions [BP, h]``, ``siblings
-    [BP, h, a-1, 16]``, ``leaves [BP, 16]`` -> recomputed roots [BP, 16].
-    One dispatch per call (see _sponge_chain on why that matters)."""
+    """Fused tile->kernel->untile->compare verification chain on
+    BUCKET-PADDED element-major proofs: ``positions [BP, h]``, ``siblings
+    [BP, h, a-1, 16]``, ``leaves [BP, 16]``, ``root [16]`` -> validity
+    ``[BP] bool``.  The root comparison lives INSIDE this (bucketed, reused)
+    executable so the whole verification is ONE dispatch — over tunneled
+    backends each dependent dispatch hop costs ~10-20 ms (docs/PERF.md)."""
     bp, h = positions.shape
     rows = bp // LANES
     pos_t = positions.T.reshape(h, rows, LANES)
@@ -260,13 +300,66 @@ def _verify_chain(positions, siblings, leaves, n_active, arity: int,
     )
     leaf_t = jnp.transpose(leaves, (1, 0)).reshape(ND, rows, LANES)
     out = _verify_tiles(pos_t, sib_t, leaf_t, n_active, arity, height)
-    return out.reshape(ND, bp).T
+    # out element e lives at (row e // 128, lane e % 128): the [rows, LANES]
+    # comparison reshapes to [BP] in the same order as .reshape(ND, bp).T.
+    ok = jnp.all(out == root[:, None, None], axis=0)
+    return ok.reshape(bp)
 
 
 def _verify_tiles(pos_t, sib_t, leaf_t, n_active, arity: int, height: int):
     """Fused verification kernel call over pre-tiled proof tensors (rows
     bucketed, ``n_active`` dynamic)."""
     rows = leaf_t.shape[1]
+    if not _on_tpu():
+        # Portable path: the SCANNED element-major jnp program.  The slab
+        # form of this walk compiles to a ~100k-op HLO program that XLA:CPU
+        # chews on for tens of minutes and tens of GB; the scanned jnp twin
+        # is bit-identical (fieldslab ops are per-op differentially tested
+        # on CPU; the kernel composition is differentially tested on TPU).
+        from cuzk_tpu import poseidon
+
+        b = rows * LANES
+        pos_e = pos_t.reshape(height, b).T  # [B, h]
+        sib_e = jnp.transpose(
+            sib_t.reshape(height, arity - 1, ND, b), (3, 0, 1, 2)
+        )  # [B, h, a-1, 16]
+        leaf_e = leaf_t.reshape(ND, b).T  # [B, 16]
+        jcol = jnp.arange(arity, dtype=jnp.int32)
+
+        def level(lvl, cur):
+            p = jax.lax.dynamic_index_in_dim(
+                pos_e, lvl, axis=1, keepdims=False
+            )  # [B]
+            sib_l = jax.lax.dynamic_index_in_dim(
+                sib_e, lvl, axis=1, keepdims=False
+            )  # [B, a-1, 16]
+            # Child group: current node at its proof position, siblings
+            # j' = j - (j > p) around it (merkle_tree.cpp:224-253).
+            jp = jnp.clip(
+                jcol[None, :] - (jcol[None, :] > p[:, None]), 0, arity - 2
+            )
+            gathered = jnp.take_along_axis(sib_l, jp[..., None], axis=1)
+            group = jnp.where(
+                (jcol[None, :] == p[:, None])[..., None],
+                cur[:, None, :],
+                gathered,
+            )  # [B, a, 16]
+            if arity < PAD_WIDTH:
+                # Pad to the shared width bucket (absorbing a padded zero is
+                # bit-exactly a no-op and the absorb loop's trip count is
+                # runtime-n, so padding costs nothing): all arities reuse
+                # one _sponge_dyn executable per batch size.
+                group = jnp.pad(
+                    group, ((0, 0), (0, PAD_WIDTH - arity), (0, 0))
+                )
+            return poseidon._sponge_dyn(
+                group,
+                jnp.int32(arity),
+                jnp.int32(oracle.DS_MULTIPLE),
+            )
+
+        out = jax.lax.fori_loop(0, height, level, leaf_e)  # [B, 16]
+        return out.T.reshape(ND, rows, LANES)
     grid = (rows // SUBLANE_TILE,)
     return pl.pallas_call(
         _make_verify_kernel(arity, height),
@@ -300,11 +393,29 @@ def _verify_tiles(pos_t, sib_t, leaf_t, n_active, arity: int, height: int):
     )(jnp.asarray(RC_TABLE), n_active, pos_t, sib_t, leaf_t)
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def _pad_proofs(positions, siblings, leaves, bp: int):
+    """One jitted program padding all three proof tensors to the bucket size
+    — a single dispatch instead of three eager pads."""
+    pad = bp - positions.shape[0]
+    return (
+        jnp.pad(positions, ((0, pad), (0, 0))),
+        jnp.pad(siblings, ((0, pad),) + ((0, 0),) * (siblings.ndim - 1)),
+        jnp.pad(leaves, ((0, pad), (0, 0))),
+    )
+
+
 def verify_proofs_pallas(positions, siblings, leaves, root, arity: int):
     """Fused batch Merkle-proof verification on TPU.
 
     ``positions [k, h] int32``, ``siblings [k, h, a-1, 16]``,
     ``leaves [k, 16]``, ``root [16]`` -> ``[k] bool``.
+
+    When ``k`` is already bucket-aligned (a power-of-two multiple of the
+    1024-element tile) the whole verification — tiling, kernel, root compare
+    — is ONE device dispatch; otherwise one pad dispatch and one trailing
+    slice are added.  Padded entries recompute garbage roots and report
+    False, then are sliced away.
     """
     positions = jnp.asarray(positions, jnp.int32)
     siblings = jnp.asarray(siblings, jnp.uint32)
@@ -315,20 +426,15 @@ def verify_proofs_pallas(positions, siblings, leaves, root, arity: int):
         return jnp.all(leaves == root[None, :], axis=-1)
     tile = SUBLANE_TILE * LANES
     n_tiles = max(1, -(-k // tile))
-    bp = (1 << (n_tiles - 1).bit_length()) * tile
+    bp = _bucket_tiles(n_tiles) * tile
     if bp != k:
-        positions = jnp.zeros((bp, h), jnp.int32).at[:k].set(positions)
-        siblings = (
-            jnp.zeros((bp,) + siblings.shape[1:], jnp.uint32)
-            .at[:k]
-            .set(siblings)
+        positions, siblings, leaves = _pad_proofs(
+            positions, siblings, leaves, bp
         )
-        leaves = jnp.zeros((bp, ND), jnp.uint32).at[:k].set(leaves)
-    out = _verify_chain(
-        positions, siblings, leaves, _scalars((k + tile - 1) // tile),
-        arity, h,
+    ok = _verify_chain(
+        positions, siblings, leaves, root,
+        _scalars((k + tile - 1) // tile), arity, h,
     )
-    ok = jnp.all(out == root[None, :], axis=-1)  # [bp]
     return ok if bp == k else ok[:k]
 
 
@@ -342,7 +448,7 @@ def _to_tiles(x: jnp.ndarray):
     b = x.shape[0]
     tile = SUBLANE_TILE * LANES
     n_tiles = max(1, -(-b // tile))
-    bp = (1 << (n_tiles - 1).bit_length()) * tile
+    bp = _bucket_tiles(n_tiles) * tile
     if bp > b:
         x = jnp.concatenate(
             [x, jnp.zeros((bp - b,) + x.shape[1:], jnp.uint32)], axis=0
@@ -374,12 +480,14 @@ def _sponge_tiles(xt: jnp.ndarray, scalars: jnp.ndarray):
     appears in the program."""
     rows = xt.shape[2]
     if not _on_tpu():
-        # Portable compiled path: same slab program over the whole batch.
-        rc = jnp.asarray(RC_TABLE)
-        with fs.const_cache((rows, LANES)):
-            return _sponge_body_dyn(
-                rc, xt, scalars[1], scalars[2], (rows, LANES)
-            )
+        # Portable path: the scanned element-major jnp sponge (bit-identical;
+        # see _verify_tiles on why the slab form is not compiled on CPU).
+        from cuzk_tpu import poseidon
+
+        w = xt.shape[0]
+        flat = jnp.transpose(xt.reshape(w, ND, rows * LANES), (2, 0, 1))
+        out = poseidon._sponge_dyn(flat, scalars[1], scalars[2])  # [B, 16]
+        return out.T.reshape(ND, rows, LANES)
     grid = (rows // SUBLANE_TILE,)
     w = xt.shape[0]
     return pl.pallas_call(
@@ -444,7 +552,7 @@ def _sponge_pallas(inputs: jnp.ndarray, ds: int) -> jnp.ndarray:
     w = max(PAD_WIDTH, n + (n & 1))
     tile = SUBLANE_TILE * LANES
     n_tiles = max(1, -(-b // tile))
-    bp = (1 << (n_tiles - 1).bit_length()) * tile
+    bp = _bucket_tiles(n_tiles) * tile
     if w != n or bp != b:
         padded = jnp.zeros((bp, w, ND), jnp.uint32).at[:b, :n].set(inputs)
     else:
@@ -481,10 +589,15 @@ def _permutation_tiles(xt: jnp.ndarray, n_active: jnp.ndarray):
     (rows bucketed, ``n_active`` dynamic — see :func:`_sponge_tiles`)."""
     rows = xt.shape[2]
     if not _on_tpu():
-        rc = jnp.asarray(RC_TABLE)
-        with fs.const_cache((rows, LANES)):
-            s = _permute([xt[i] for i in range(3)], rc, full_round0_add=True)
-        return jnp.stack(s, axis=0)
+        # Portable path: scanned element-major permutation (see
+        # _verify_tiles on why the slab form is not compiled on CPU).
+        from cuzk_tpu import poseidon
+
+        flat = jnp.transpose(
+            xt.reshape(3, ND, rows * LANES), (2, 0, 1)
+        )  # [B, 3, 16]
+        out = poseidon._permute_stacked(flat, full_round0_add=True)
+        return jnp.transpose(out, (1, 2, 0)).reshape(3, ND, rows, LANES)
     grid = (rows // SUBLANE_TILE,)
     return pl.pallas_call(
         _permutation_kernel,

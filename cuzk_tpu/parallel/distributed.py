@@ -43,6 +43,26 @@ from cuzk_tpu.field import fr
 DATA_AXIS = "data"
 
 
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _engine_hash_pair(l, r):
+    if _on_tpu():
+        from cuzk_tpu.ops import hash_pair_pallas
+
+        return hash_pair_pallas(l, r)
+    return poseidon.hash_pair(l, r)
+
+
+def _engine_hash_single(x):
+    if _on_tpu():
+        from cuzk_tpu.ops import hash_single_pallas
+
+        return hash_single_pallas(x)
+    return poseidon.hash_single(x)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = DATA_AXIS) -> Mesh:
     """1-D device mesh over the first ``n_devices`` devices (default: all)."""
     devs = jax.devices()
@@ -68,11 +88,14 @@ def _shmap_hash(mesh: Mesh, axis_name: str, kind: str):
     key = ("hash", id(mesh), axis_name, kind)
     fn = _LEVEL_CACHE.get(key)
     if fn is None:
+        # Per-shard bodies dispatch like the single-device engine: the fused
+        # Pallas kernel on TPU, the portable jnp path elsewhere — so each
+        # chip of the pod runs at single-chip kernel speed.
         if kind == "pairs":
-            body = lambda l, r: poseidon.hash_pair(l, r)  # noqa: E731
+            body = _engine_hash_pair
             in_specs = (P(axis_name, None), P(axis_name, None))
         else:
-            body = lambda x: poseidon.hash_single(x)  # noqa: E731
+            body = _engine_hash_single
             in_specs = (P(axis_name, None),)
         fn = jax.jit(
             jax.shard_map(
@@ -121,7 +144,9 @@ def _local_level_fn(mesh: Mesh, axis_name: str, arity: int):
             groups = local_level.reshape(
                 local_level.shape[0] // arity, arity, fr.NDIGITS
             )
-            return poseidon.hash_multiple(groups)
+            # Engine dispatch (merkle._engine_hash_multiple): fused Pallas
+            # kernel per shard on TPU, portable jnp path elsewhere.
+            return merkle._engine_hash_multiple(groups)
 
         fn = jax.jit(
             jax.shard_map(
@@ -198,9 +223,9 @@ def sharded_build_levels(
     g = gathered
     while g.shape[0] > 1:
         # Replicated upper levels: plain batched hashing (tiny arrays),
-        # reusing the single-device level executables.
+        # reusing the single-device level executables (kernel on TPU).
         groups = g.reshape(g.shape[0] // arity, arity, fr.NDIGITS)
-        g = poseidon.hash_multiple(groups)
+        g = merkle._engine_hash_multiple(groups)
         replicated_levels.append(g)
     return sharded_levels, replicated_levels
 

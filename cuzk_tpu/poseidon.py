@@ -96,16 +96,29 @@ _IS_FULL = np.array(
 MDS = oracle.MDS
 
 
+# MDS gather/coefficient tables for the stacked layer: product q = 3*i + j
+# multiplies state row j by coefficient MDS[3*i + j]; the row-major flat
+# order makes the [.., 9, 16] product tensor reshape directly to
+# [.., 3(i), 3(j), 16].
+_MDS_SRC_ROW = np.array([j for _ in range(T) for j in range(T)], np.int32)
+_MDS_COEFF = np.array(MDS, np.uint32)
+
+
 def _mds_layer(s):
     """new_s[i] = sum_j MDS[i][j] * s[j] with the reference's add/mul
-    semantics (poseidon.cpp:148-167). All inputs reduced."""
-    out = []
-    for i in range(T):
-        acc = fr.mul_small(s[0], np.uint32(MDS[T * i]))
-        for j in range(1, T):
-            acc = fr.add_rr(acc, fr.mul_small(s[j], np.uint32(MDS[T * i + j])))
-        out.append(acc)
-    return tuple(out)
+    semantics (poseidon.cpp:148-167) on a STACKED ``[..., 3, 16]`` state.
+
+    All 9 coefficient products run as ONE :func:`fr.mul_small` over a
+    ``[..., 9, 16]`` gather of the state rows — the multiply traces once
+    instead of nine times, which cuts the permutation's XLA program size
+    (and with it the minutes-scale CPU-backend compile) ~3x.  The j-axis
+    accumulation uses the oracle's left-to-right add order (all operands
+    reduced, where the wrapping add is exact modular addition — order-
+    independent, but kept identical anyway)."""
+    prods = fr.mul_small(s[..., _MDS_SRC_ROW, :], _MDS_COEFF)
+    p = prods.reshape(prods.shape[:-2] + (T, T, fr.NDIGITS))
+    acc = fr.add_rr(p[..., 0, :], p[..., 1, :])
+    return fr.add_rr(acc, p[..., 2, :])
 
 
 # Round r's constant paired with round r-1's MDS output: the scan body is
@@ -117,12 +130,14 @@ _RC_NEXT = np.concatenate(
 )
 
 
-def _permute_tuple(s, full_round0_add: bool = False):
-    """64-round permutation on a tuple of 3 ``[..., 16]`` digit arrays.
+def _permute_stacked(s, full_round0_add: bool = False):
+    """64-round permutation on a STACKED ``[..., 3, 16]`` digit array.
 
     ONE scan over all 64 rounds with a ``lax.cond`` full/partial S-box
-    switch: the round body compiles once (three separate scan phases were
-    measured to compile ~3x slower in composition).
+    switch: the round body compiles once, and within it each fr op traces
+    once over the stacked state (a 3x smaller XLA program than the previous
+    per-row unrolled form — this is what keeps the CPU-backend compile of a
+    sponge executable tens of seconds instead of minutes).
 
     ``full_round0_add``: the sponge feeds reduced state (< p), where
     ``add_rr``'s single conditional subtract equals the oracle add exactly.
@@ -130,19 +145,20 @@ def _permute_tuple(s, full_round0_add: bool = False):
     (the reference's batch_permutation adds with full reduction) — it passes
     True so round 0 uses the oracle's full wrap-at-2^256 add."""
     add0 = fr.add if full_round0_add else fr.add_rr
-    rc0 = jnp.asarray(RC_DIGITS[0])
-    s = tuple(add0(s[i], rc0[i]) for i in range(T))
+    s = add0(s, jnp.asarray(RC_DIGITS[0]))
 
     def step(carry, xs):
         rc_next, is_full = xs
         st = jax.lax.cond(
             is_full,
-            lambda t: tuple(fr.power5(x) for x in t),
-            lambda t: (fr.power5(t[0]), t[1], t[2]),
+            fr.power5,
+            lambda t: jnp.concatenate(
+                [fr.power5(t[..., :1, :]), t[..., 1:, :]], axis=-2
+            ),
             carry,
         )
         st = _mds_layer(st)
-        return tuple(fr.add_rr(st[i], rc_next[i]) for i in range(T)), None
+        return fr.add_rr(st, rc_next), None
 
     s, _ = jax.lax.scan(
         step, s, (jnp.asarray(_RC_NEXT), jnp.asarray(_IS_FULL))
@@ -150,11 +166,16 @@ def _permute_tuple(s, full_round0_add: bool = False):
     return s
 
 
+def _permute_tuple(s, full_round0_add: bool = False):
+    """Tuple-of-rows wrapper around :func:`_permute_stacked` (sponge-internal
+    state is kept as separate [..., 16] arrays)."""
+    out = _permute_stacked(jnp.stack(s, axis=-2), full_round0_add)
+    return tuple(out[..., i, :] for i in range(T))
+
+
 @jax.jit
 def _permutation_flat(state: jnp.ndarray) -> jnp.ndarray:
-    s = tuple(state[..., i, :] for i in range(T))
-    s = _permute_tuple(s, full_round0_add=True)
-    return jnp.stack(s, axis=-2)
+    return _permute_stacked(state, full_round0_add=True)
 
 
 def permutation(state: jnp.ndarray) -> jnp.ndarray:

@@ -16,10 +16,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_backend_optimization_level" not in _flags:
-    # The CPU backend takes minutes to O2-compile the 64-round sponge; O0
-    # halves compile time and tests only run tiny batches (runtime is noise).
-    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
+# NOTE: do NOT add --xla_backend_optimization_level=0 — on the dot-based
+# field programs O0 is ~5x SLOWER to compile than the default pipeline
+# (441 s vs 90 s for one sponge bucket: unoptimized scalarized IR explodes
+# before instruction selection).
 os.environ["XLA_FLAGS"] = _flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -50,6 +50,28 @@ if os.environ.get("CUZK_NO_COMPILE_CACHE") != "1":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # NOTE: do NOT enable jax_persistent_cache_enable_xla_caches='all' — the
 # CPU-backend AOT serialization it forces makes every compile ~10x slower.
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_process_memory():
+    """Drop JAX's in-memory executable caches when RSS grows past ~16 GB.
+
+    A cold-cache full-suite run accumulates tens of GB of compile state in
+    one process; past ~30 GB RSS the persistent-cache write path segfaults
+    natively (observed in jax's put_executable_and_time under zstandard).
+    Clearing is NOT free — reloading a big sponge executable from the
+    persistent cache costs 20-60 s (zstd + AOT deserialize, docs/PERF.md) —
+    so only clear when actually approaching the danger zone."""
+    yield
+    with open("/proc/self/statm") as f:
+        rss_bytes = int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+    if rss_bytes > 16 << 30:
+        import jax
+
+        jax.clear_caches()
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,7 @@ must agree bit-exactly with both the oracle and the jnp reference path.
 
 import random
 
+import jax
 import numpy as np
 import pytest
 
@@ -187,3 +188,87 @@ def test_pallas_permutation_unreduced_states():
     for s in states:
         want.extend(oracle.permutation(s))
     assert got == want
+
+
+@pytest.mark.parametrize("arity", [2, 3, 5, 8])
+def test_verify_body_level_walk(arity):
+    """The fused verifier's level walk — current node inserted at its proof
+    position, siblings clamped around it (merkle_tree.cpp:224-253) — checked
+    against a direct numpy model, for both the kernel's static unroll and
+    the fallback's fori_loop form.
+
+    The 64-round sponge is substituted with a cheap position-sensitive
+    stand-in via the ``sponge_body`` hook: compiling the real fused chain on
+    XLA:CPU at -O0 takes ~45 min / tens of GB (docs/PERF.md), and the sponge
+    itself is covered by the other differential tests here.  The full
+    kernel-vs-batch-path differential runs on TPU hardware
+    (test_fused_verify_vs_batch_verify_tpu below)."""
+    import jax.numpy as jnp
+
+    from cuzk_tpu.ops import poseidon_pallas as pp
+
+    h, S, L = 3, 2, 8
+    rng = np.random.default_rng(17 + arity)
+    pos = rng.integers(0, arity, (h, S, L)).astype(np.int32)
+    sib = rng.integers(0, 1 << 16, (h, arity - 1, 16, S, L)).astype(np.uint32)
+    leaf = rng.integers(0, 1 << 16, (16, S, L)).astype(np.uint32)
+
+    def fake_sponge(rc, get_input, n, ds, batch_shape):
+        acc = jnp.zeros((16,) + tuple(batch_shape), jnp.uint32)
+        for j in range(n):
+            acc = (acc * 3 + get_input(j)) & 0xFFFF
+        return acc
+
+    # Direct numpy model of the walk: sibling j' = j - (j > p).
+    want = leaf.copy()
+    for lvl in range(h):
+        acc = np.zeros((16, S, L), np.uint64)
+        for j in range(arity):
+            p = pos[lvl]
+            # per-element sibling index j' = j - (j > p), clamped
+            jp = np.clip(j - (j > p).astype(np.int64), 0, arity - 2)
+            gathered = np.take_along_axis(
+                sib[lvl], jp[None, None], axis=0
+            )[0]
+            child = np.where((j == p)[None], want, gathered)
+            acc = (acc * 3 + child) & 0xFFFF
+        want = acc.astype(np.uint32)
+
+    for unroll in (True, False):
+        got = np.asarray(
+            pp._verify_body(
+                None, jnp.asarray(pos), jnp.asarray(sib), jnp.asarray(leaf),
+                arity, h, (S, L), unroll=unroll, sponge_body=fake_sponge,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="fused verify kernel differential needs TPU (CPU O0 compile of "
+    "the portable twin takes ~45 min; see docs/PERF.md)",
+)
+def test_fused_verify_vs_batch_verify_tpu():
+    """On hardware: the fused verify kernel must agree with the per-level
+    batched path AND the oracle on valid and tampered proofs
+    (test_merkle_tree_cuda.cpp:520-620's role)."""
+    import jax.numpy as jnp
+
+    from cuzk_tpu import merkle
+    from cuzk_tpu.ops.poseidon_pallas import verify_proofs_pallas
+
+    leaves = merkle.generate_test_leaves(7, seed=5)
+    tree = merkle.NaryMerkleTree(leaves, merkle.MerkleConfig(arity=2))
+    idx = [0, 3, 6, 1, 5]
+    pos, sib = tree.generate_batch_proofs(idx)
+    proved = tree.levels[0][jnp.asarray(idx)]
+    root = tree.get_root_hash()
+
+    ok_fused = np.asarray(verify_proofs_pallas(pos, sib, proved, root, 2))
+    assert ok_fused.shape == (len(idx),) and ok_fused.all()
+
+    bad = np.asarray(proved).copy()
+    bad[2, 0] ^= 1
+    ok_fused = np.asarray(verify_proofs_pallas(pos, sib, bad, root, 2))
+    assert list(ok_fused) == [True, True, False, True, True]
