@@ -137,6 +137,39 @@ def _nop(x):
     return x
 
 
+@op("raw_mulxor128")
+def _rawmul(x):
+    """16 independent chains x 4 steps of (mul, xor) = 128 vreg-ops/iter over
+    [8,128] vregs — the VPU issue-rate ceiling probe.  Traced multipliers +
+    interleaved xor defeat constant folding / reassociation."""
+    rows = [fs._digit(x, i) for i in range(16)]
+    m = fs._digit(x, 0) | jnp.uint32(1)
+    m2 = fs._digit(x, 1)
+    for _ in range(4):
+        rows = [(r * m) ^ m2 for r in rows]
+    return jnp.stack(rows, axis=0)
+
+
+@op("raw_add128")
+def _rawadd(x):
+    """Same shape, pure adds: 128 vreg adds/iter."""
+    rows = [fs._digit(x, i) for i in range(16)]
+    m = fs._digit(x, 0)
+    m2 = fs._digit(x, 1)
+    for _ in range(4):
+        rows = [(r + m) + m2 for r in rows]
+    return jnp.stack(rows, axis=0)
+
+
+@op("raw_shift128")
+def _rawshift(x):
+    """Mask/shift mix (the schoolbook's lo/hi splits): 256 vreg-ops/iter."""
+    rows = [fs._digit(x, i) for i in range(16)]
+    for _ in range(4):
+        rows = [(r >> 16) | ((r & jnp.uint32(0xFFFF)) << 1) for r in rows]
+    return jnp.stack(rows, axis=0)
+
+
 
 @op("full_round3")
 def _fr3(x):

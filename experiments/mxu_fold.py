@@ -95,10 +95,11 @@ def k_matrix_bf16_interleaved():
     return m  # numpy; jnp.asarray at use (caching a traced constant leaks tracers)
 
 
-def mxu_mul_k_dot8(h):
+def mxu_mul_k_dot8(h, km=None):
     """Exact 32-digit h*k via 8 per-chunk [64,32]@[32,128] bf16 dots."""
-    bt = _to_bytes_t(h).astype(jnp.bfloat16)  # [S, 32, L]
-    km = jnp.asarray(k_matrix_bf16_interleaved(), jnp.bfloat16)
+    bt = _to_bytes_t(h).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)  # [S, 32, L]
+    if km is None:
+        km = jnp.asarray(k_matrix_bf16_interleaved(), jnp.bfloat16)
     outs = []
     for s in range(ROWS):
         o = jax.lax.dot_general(
@@ -107,22 +108,23 @@ def mxu_mul_k_dot8(h):
         )  # [64, L] exact integers < 2^21
         outs.append(o)
     out = jnp.stack(outs, axis=0)  # [S, 64, L] f32
-    oi = out.astype(jnp.uint32)
+    oi = out.astype(jnp.int32).astype(jnp.uint32)
     m32 = oi[:, :32] + (oi[:, 32:] << 8)  # [S, 32, L] < 2^30
     cols = jnp.swapaxes(m32, 0, 1)  # [32, S, L]
     d, _ = fs.carry(cols)
     return d
 
 
-def mxu_mul_k_dot3d(h):
+def mxu_mul_k_dot3d(h, km=None):
     """Same, one dot_general over the leading chunk axis."""
-    bt = _to_bytes_t(h).astype(jnp.bfloat16)  # [S, 32, L]
-    km = jnp.asarray(k_matrix_bf16_interleaved(), jnp.bfloat16)
+    bt = _to_bytes_t(h).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)  # [S, 32, L]
+    if km is None:
+        km = jnp.asarray(k_matrix_bf16_interleaved(), jnp.bfloat16)
     out = jax.lax.dot_general(
         km, bt, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [64, S, L]
-    oi = out.astype(jnp.uint32)
+    oi = out.astype(jnp.int32).astype(jnp.uint32)
     m32 = oi[:32] + (oi[32:] << 8)  # [32, S, L]
     d, _ = fs.carry(m32)
     return d
@@ -132,11 +134,57 @@ def vpu_mul_k(h):
     return fs.mul_wide(h, fs.const_col(fs.K_INT, h.shape[1:]))
 
 
+def reduce_wide_mxu(prod, km):
+    """fs.reduce_wide with both constant-k folds on the MXU."""
+    low = prod[:16]
+    high = prod[16:]
+    m = mxu_mul_k_dot8(high, km)
+    hc = m[:16]
+    mh = m[16:]
+    mh_nz = jnp.any(mh != 0, axis=0)
+    mhk_low = mxu_mul_k_dot8(mh, km)[:16]
+    hc = jnp.where(mh_nz[None], fs.add_wrap_red(hc, mhk_low), hc)
+    return fs.add_wrap_red(low, hc)
+
+
+def mul_vpu_full(x):
+    """One full field multiply (the permutation hot op), all-VPU."""
+    return fs.mul(x, x)
+
+
+def mul_mxu_full(x, km):
+    """Same multiply with the reduction folds riding the MXU."""
+    return reduce_wide_mxu(fs.mul_wide(x, x), km)
+
+
+def _three(x):
+    return x, x ^ jnp.uint32(1), x ^ jnp.uint32(2)
+
+
+def mul3_vpu(x):
+    """Three independent multiplies per iteration (the permutation's ILP)."""
+    a, b, c = _three(x)
+    return fs.mul(a, a) ^ fs.mul(b, b) ^ fs.mul(c, c)
+
+
+def mul3_mxu(x, km):
+    a, b, c = _three(x)
+    return (
+        reduce_wide_mxu(fs.mul_wide(a, a), km)
+        ^ reduce_wide_mxu(fs.mul_wide(b, b), km)
+        ^ reduce_wide_mxu(fs.mul_wide(c, c), km)
+    )
+
+
 BODIES = {
-    "vpu": lambda x: _fold(vpu_mul_k, x),
-    "mxu_dot8": lambda x: _fold(mxu_mul_k_dot8, x),
-    "mxu_dot3d": lambda x: _fold(mxu_mul_k_dot3d, x),
-    "transpose": lambda x: jnp.swapaxes(jnp.swapaxes(x, 0, 1), 0, 1)
+    "vpu": lambda x, km: _fold(vpu_mul_k, x),
+    "mxu_dot8": lambda x, km: _fold(lambda h: mxu_mul_k_dot8(h, km), x),
+    "mxu_dot3d": lambda x, km: _fold(lambda h: mxu_mul_k_dot3d(h, km), x),
+    "mul_vpu": lambda x, km: mul_vpu_full(x),
+    "mul_mxu": lambda x, km: mul_mxu_full(x, km),
+    "mul3_vpu": lambda x, km: mul3_vpu(x),
+    "mul3_mxu": lambda x, km: mul3_mxu(x, km),
+    "transpose": lambda x, km: jnp.swapaxes(jnp.swapaxes(x, 0, 1), 0, 1)
     ^ jnp.uint32(1),
 }
 
@@ -147,14 +195,19 @@ def _fold(fn, x):
 
 
 def check(name):
-    """Bit-exactness vs fs.mul_wide outside the kernel (same jnp math)."""
-    impl = {"mxu_dot8": mxu_mul_k_dot8, "mxu_dot3d": mxu_mul_k_dot3d}.get(name)
-    if impl is None:
-        return True
+    """Bit-exactness vs the VPU twin outside the kernel (same jnp math)."""
     rng = np.random.default_rng(9)
     h = jnp.asarray(rng.integers(0, 1 << 16, (16, ROWS, LANES), np.uint32))
-    want = np.asarray(jax.jit(vpu_mul_k)(h))
-    got = np.asarray(jax.jit(impl)(h))
+    if name in ("mxu_dot8", "mxu_dot3d"):
+        impl = {"mxu_dot8": mxu_mul_k_dot8, "mxu_dot3d": mxu_mul_k_dot3d}[name]
+        want = np.asarray(jax.jit(vpu_mul_k)(h))
+        got = np.asarray(jax.jit(impl)(h))
+    elif name == "mul_mxu":
+        km = jnp.asarray(k_matrix_bf16_interleaved(), jnp.bfloat16)
+        want = np.asarray(jax.jit(mul_vpu_full)(h))
+        got = np.asarray(jax.jit(lambda x: mul_mxu_full(x, km))(h))
+    else:
+        return True
     ok = np.array_equal(got, want)
     print(f"  check[{name}]: {'OK' if ok else 'MISMATCH'}")
     return ok
@@ -166,29 +219,36 @@ def run(name):
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.integers(0, 1 << 16, (16, rows, LANES), np.uint32))
 
-    def kernel(in_ref, out_ref):
+    def kernel(in_ref, km_ref, out_ref):
         with fs.const_cache(out_ref.shape[-2:]):
+            km = km_ref[:]
             def it(_, v):
-                return body(v)
+                return body(v, km)
             out_ref[:] = jax.lax.fori_loop(0, N, it, in_ref[:])
 
+    km_in = jnp.asarray(k_matrix_bf16_interleaved(), jnp.bfloat16)
     fn = jax.jit(
-        lambda v: pl.pallas_call(
+        lambda v, km: pl.pallas_call(
             kernel,
             grid=(TILES,),
             in_specs=[
                 pl.BlockSpec(
                     (16, ROWS, LANES), lambda r: (0, r, 0),
                     memory_space=pltpu.VMEM,
-                )
+                ),
+                pl.BlockSpec(
+                    (64, NB), lambda r: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (16, ROWS, LANES), lambda r: (0, r, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((16, rows, LANES), jnp.uint32),
-        )(v)
+        )(v, km)
     )
+    fn = functools.partial(fn, km=km_in)
     t_c0 = time.perf_counter()
     _ = np.asarray(fn(x)[0])
     print(f"  (compile {time.perf_counter() - t_c0:.1f}s)")
