@@ -3,12 +3,15 @@
 Re-design of the reference's two tree implementations
 (/root/reference/src/merkle_tree/merkle_tree.cpp — CPU pointer tree;
 merkle_tree_cuda.cu — CUDA flat levels with one malloc/H2D/launch/sync/D2H
-round-trip *per level*, :159-259).  Here the whole bottom-up level loop is
-traced into ONE jitted XLA program over static shapes: level ``l`` is a
-``[padded/arity^l, 16]`` digit array, each level is a single batched
+round-trip *per level*, :159-259).  On TPU the empty-hash padding and the
+whole bottom-up level loop are traced into ONE jitted XLA program over
+static shapes (``_build_levels_fused``): level ``l`` is a
+``[padded/arity^l, 16]`` digit array, each level one batched
 ``hash_multiple`` over ``[m/a, a, 16]`` groups, and no host boundary is
 crossed until the final root fetch — the reference's main structural
-inefficiency removed (SURVEY.md §3.3).
+inefficiency removed (SURVEY.md §3.3).  On CPU backends the same loop runs
+host-driven so each level reuses a small per-level executable (the fused
+program's XLA:CPU compile takes ~height times longer; docs/PERF.md).
 
 Semantics are bit-exact vs ``cuzk_tpu.oracle`` (merkle_tree.cpp:44-100):
 - leaves padded to the next power of arity with ``empty_hash(arity) =
@@ -94,12 +97,13 @@ def tree_height(leaf_count: int, arity: int) -> int:
 def _build_levels(padded_leaves: jnp.ndarray, arity: int):
     """All tree levels from ``[m, 16]`` padded leaves (m a power of arity).
 
-    The loop is host-driven over DEVICE-RESIDENT arrays: each level is one
-    jitted batched ``hash_multiple`` dispatch (no transfers — contrast the
-    reference's per-level malloc/H2D/D2H round-trip, merkle_tree_cuda.cu:
-    159-259).  Group counts are padded to powers of two so every level of
-    every tree size reuses one of a log-bounded set of compiled executables
-    (power-of-two arities pad by zero rows).
+    Shapes are static per level, so the loop traces cleanly; each level is
+    one batched ``hash_multiple`` over ``[g, arity, 16]`` groups (no
+    transfers — contrast the reference's per-level malloc/H2D/D2H
+    round-trip, merkle_tree_cuda.cu:159-259).  Group counts are padded to
+    powers of two so every level of every tree size reuses one of a
+    log-bounded set of compiled kernel executables (power-of-two arities
+    pad by zero rows).
     """
     levels = [padded_leaves]
     level = padded_leaves
@@ -118,6 +122,22 @@ def _build_levels(padded_leaves: jnp.ndarray, arity: int):
     return tuple(levels)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _build_levels_fused(leaves: jnp.ndarray, arity: int, pad_to: int):
+    """TPU build path: empty-hash padding + the WHOLE level loop under one
+    jit — the full tree build is ONE device dispatch.  Over a tunneled
+    backend each dependent dispatch hop costs ~10-22 ms (docs/PERF.md), so
+    the host-driven loop paid up to height x 20 ms of pure latency; fused,
+    a 50K-leaf arity-4 build is hash-bound.  Not used on CPU backends,
+    where XLA compiles of the height-times-larger program take ~10 minutes
+    (the per-level executables compile in ~1 min each and are shared)."""
+    if pad_to > leaves.shape[0]:
+        e = jnp.asarray(np.array(_empty_hash_digits(arity), np.uint32))
+        pad = jnp.broadcast_to(e, (pad_to - leaves.shape[0], fr.NDIGITS))
+        leaves = jnp.concatenate([leaves, pad], axis=0)
+    return _build_levels(leaves, arity)
+
+
 def build_tree_levels(leaves, arity: int = 2) -> List[jnp.ndarray]:
     """Build all levels bottom-up. ``leaves``: ``[n, 16] uint32`` (or anything
     ``jnp.asarray`` accepts). Returns [level0 .. root], level0 = padded
@@ -129,6 +149,10 @@ def build_tree_levels(leaves, arity: int = 2) -> List[jnp.ndarray]:
     if n == 0:
         return []
     padded = padded_leaf_count(n, arity)
+    import jax as _jax
+
+    if _jax.default_backend() in ("tpu", "axon"):
+        return list(_build_levels_fused(leaves, arity, padded))
     if padded > n:
         e = jnp.asarray(np.array(_empty_hash_digits(arity), np.uint32))
         pad = jnp.broadcast_to(e, (padded - n, fr.NDIGITS))
@@ -416,6 +440,22 @@ def print_tree(tree: "NaryMerkleTree", max_nodes_per_level: int = 8) -> str:
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _build_batch_levels_fused(level: jnp.ndarray, arity: int, padded: int):
+    """TPU path for equal-size batch builds: the whole side-by-side level
+    loop under one jit — ONE device dispatch for all k trees (see
+    :func:`_build_levels_fused` for the dispatch economics)."""
+    k = level.shape[0] // padded
+    levels = [level]
+    m = padded
+    while m > 1:
+        g = m // arity
+        level = _engine_hash_multiple(level.reshape(k * g, arity, fr.NDIGITS))
+        levels.append(level)
+        m = g
+    return tuple(levels)
+
+
 def build_batch_trees(
     leaf_sets, arity: int = 2
 ) -> List["NaryMerkleTree"]:
@@ -436,16 +476,19 @@ def build_batch_trees(
         # level loop over [k * m, 16] with trees side by side: group
         # boundaries never cross trees because m is a power of arity.
         level = stacked.reshape(k * padded, fr.NDIGITS)
-        levels = [level]
-        m = padded
-        while m > 1:
-            g = m // arity
-            hashed = _engine_hash_multiple(
-                level.reshape(k * g, arity, fr.NDIGITS)
-            )
-            level = hashed
-            levels.append(level)
-            m = g
+        if jax.default_backend() in ("tpu", "axon"):
+            levels = list(_build_batch_levels_fused(level, arity, padded))
+        else:
+            levels = [level]
+            m = padded
+            while m > 1:
+                g = m // arity
+                hashed = _engine_hash_multiple(
+                    level.reshape(k * g, arity, fr.NDIGITS)
+                )
+                level = hashed
+                levels.append(level)
+                m = g
         trees = []
         for t in range(k):
             tree = NaryMerkleTree(config=MerkleConfig(arity))

@@ -523,7 +523,11 @@ def _scalars(*vals) -> jnp.ndarray:
     arr = _SCALAR_CACHE.get(key)
     if arr is None:
         arr = jnp.asarray(key, jnp.int32)
-        _SCALAR_CACHE[key] = arr
+        # Under an enclosing jit trace (e.g. the fused tree build) asarray
+        # yields a staged-constant TRACER — caching it would leak it into
+        # later traces/eager calls.  Cache only concrete device arrays.
+        if not isinstance(arr, jax.core.Tracer):
+            _SCALAR_CACHE[key] = arr
     return arr
 
 

@@ -194,3 +194,36 @@ def test_build_batch_trees_mixed_sizes():
     trees = merkle.build_batch_trees(sets, arity=2)
     for ls, t in zip(sets, trees):
         assert t.root_int() == oracle.merkle_root(fr.array_to_ints(ls), 2)
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() not in ("tpu", "axon"),
+    reason="fused one-dispatch build differential needs TPU (the fused "
+    "program's XLA:CPU compile takes ~height x 1 min; docs/PERF.md)",
+)
+def test_fused_build_matches_host_driven_tpu():
+    """On hardware: the one-dispatch fused build (_build_levels_fused) must
+    agree level-for-level with the host-driven loop and the oracle."""
+    import jax.numpy as jnp
+
+    for arity, count in [(2, 5), (4, 50), (3, 28)]:
+        xs = [rng.randrange(oracle.P) for _ in range(count)]
+        leaves = leaves_arr(xs)
+        padded = merkle.padded_leaf_count(count, arity)
+        fused = merkle._build_levels_fused(
+            jnp.asarray(leaves, jnp.uint32), arity, padded
+        )
+        # host-driven twin on the same backend
+        e = np.array(merkle._empty_hash_digits(arity), np.uint32)
+        parts = [np.asarray(leaves, np.uint32)]
+        if padded > count:
+            parts.append(np.broadcast_to(e, (padded - count, fr.NDIGITS)))
+        work = np.concatenate(parts, axis=0)
+        want = merkle._build_levels(jnp.asarray(work, jnp.uint32), arity)
+        assert len(fused) == len(want)
+        for a, b in zip(fused, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # root matches the python-int oracle
+        assert fr.array_to_ints(np.asarray(fused[-1]))[0] == oracle.merkle_root(
+            xs, arity
+        )
