@@ -14,7 +14,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuzk_tpu.ops import fieldslab as fs
 
-ROWS_PER_TILE = 8
+ROWS_PER_TILE = int(os.environ.get("MICRO_ROWS", "8"))
 LANES = 128
 TILES = 8
 N = int(os.environ.get("MICRO_N", "64"))
