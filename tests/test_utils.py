@@ -65,3 +65,14 @@ def test_hashing_stats():
     assert s.hashes_per_second == 2000
     assert s.ns_per_hash == 500_000.0
     assert HashingStats().hashes_per_second == 0.0
+
+
+def test_profiler_cli_smoke():
+    """The profiler harness (the Nsight-CLI analog, profile.py) runs a tiny
+    config end-to-end and reports sane stats."""
+    from cuzk_tpu.bench.profile import profile_hash
+
+    res = profile_hash(128, 2, "pairs")
+    assert res["total_hashes"] == 256
+    assert res["hashes_per_s"] > 0
+    assert res["mode"] == "pairs"
