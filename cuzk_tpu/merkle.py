@@ -3,15 +3,17 @@
 Re-design of the reference's two tree implementations
 (/root/reference/src/merkle_tree/merkle_tree.cpp — CPU pointer tree;
 merkle_tree_cuda.cu — CUDA flat levels with one malloc/H2D/launch/sync/D2H
-round-trip *per level*, :159-259).  On TPU the empty-hash padding and the
-whole bottom-up level loop are traced into ONE jitted XLA program over
-static shapes (``_build_levels_fused``): level ``l`` is a
-``[padded/arity^l, 16]`` digit array, each level one batched
-``hash_multiple`` over ``[m/a, a, 16]`` groups, and no host boundary is
-crossed until the final root fetch — the reference's main structural
-inefficiency removed (SURVEY.md §3.3).  On CPU backends the same loop runs
-host-driven so each level reuses a small per-level executable (the fused
-program's XLA:CPU compile takes ~height times longer; docs/PERF.md).
+round-trip *per level*, :159-259).  On TPU the whole bottom-up level loop
+is traced into ONE jitted XLA program over static shapes
+(``_build_levels_fused``): level ``l`` is a ``[padded/arity^l, 16]`` digit
+array, each level one batched ``hash_multiple`` over ``[m/a, a, 16]``
+groups, and no host boundary is crossed until the final root fetch — the
+reference's main structural inefficiency removed (SURVEY.md §3.3).
+Executables are keyed on the power-of-arity padded size (a log-bounded
+set); empty-hash padding is one eager concat beforehand.  On CPU backends
+the same loop runs host-driven so each level reuses a small per-level
+executable (the fused program's XLA:CPU compile takes ~height times
+longer; docs/PERF.md).
 
 Semantics are bit-exact vs ``cuzk_tpu.oracle`` (merkle_tree.cpp:44-100):
 - leaves padded to the next power of arity with ``empty_hash(arity) =
@@ -122,20 +124,21 @@ def _build_levels(padded_leaves: jnp.ndarray, arity: int):
     return tuple(levels)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _build_levels_fused(leaves: jnp.ndarray, arity: int, pad_to: int):
-    """TPU build path: empty-hash padding + the WHOLE level loop under one
-    jit — the full tree build is ONE device dispatch.  Over a tunneled
-    backend each dependent dispatch hop costs ~10-22 ms (docs/PERF.md), so
-    the host-driven loop paid up to height x 20 ms of pure latency; fused,
-    a 50K-leaf arity-4 build is hash-bound.  Not used on CPU backends,
+@functools.partial(jax.jit, static_argnums=(1,))
+def _build_levels_fused(padded_leaves: jnp.ndarray, arity: int):
+    """TPU build path: the WHOLE level loop under one jit — the build is
+    ONE device dispatch (plus one eager pad when the leaf count is not a
+    power of arity).  Over a tunneled backend each dependent dispatch hop
+    costs ~10-22 ms (docs/PERF.md), so the host-driven loop paid up to
+    height x 20 ms of pure latency; fused, a 50K-leaf arity-4 build is
+    hash-bound (90 ms -> 21.9 ms measured).
+
+    Takes PRE-PADDED leaves so executables are keyed on (power-of-arity
+    size, arity) — a log-bounded set — rather than one compile per raw
+    leaf count (minutes each over the tunnel).  Not used on CPU backends,
     where XLA compiles of the height-times-larger program take ~10 minutes
     (the per-level executables compile in ~1 min each and are shared)."""
-    if pad_to > leaves.shape[0]:
-        e = jnp.asarray(np.array(_empty_hash_digits(arity), np.uint32))
-        pad = jnp.broadcast_to(e, (pad_to - leaves.shape[0], fr.NDIGITS))
-        leaves = jnp.concatenate([leaves, pad], axis=0)
-    return _build_levels(leaves, arity)
+    return _build_levels(padded_leaves, arity)
 
 
 def build_tree_levels(leaves, arity: int = 2) -> List[jnp.ndarray]:
@@ -149,14 +152,12 @@ def build_tree_levels(leaves, arity: int = 2) -> List[jnp.ndarray]:
     if n == 0:
         return []
     padded = padded_leaf_count(n, arity)
-    import jax as _jax
-
-    if _jax.default_backend() in ("tpu", "axon"):
-        return list(_build_levels_fused(leaves, arity, padded))
     if padded > n:
         e = jnp.asarray(np.array(_empty_hash_digits(arity), np.uint32))
         pad = jnp.broadcast_to(e, (padded - n, fr.NDIGITS))
         leaves = jnp.concatenate([leaves, pad], axis=0)
+    if jax.default_backend() in ("tpu", "axon"):
+        return list(_build_levels_fused(leaves, arity))
     return list(_build_levels(leaves, arity))
 
 
@@ -444,7 +445,10 @@ def print_tree(tree: "NaryMerkleTree", max_nodes_per_level: int = 8) -> str:
 def _build_batch_levels_fused(level: jnp.ndarray, arity: int, padded: int):
     """TPU path for equal-size batch builds: the whole side-by-side level
     loop under one jit — ONE device dispatch for all k trees (see
-    :func:`_build_levels_fused` for the dispatch economics)."""
+    :func:`_build_levels_fused` for the dispatch economics).  Executables
+    are keyed per (k, padded, arity): batch-tree workloads typically reuse
+    one k across calls, so bucketing k (padding with dummy trees) would
+    trade real hash work for compile reuse — not worth it."""
     k = level.shape[0] // padded
     levels = [level]
     m = padded

@@ -175,8 +175,8 @@ def _sponge_kernel_dyn(rc_ref, sc_ref, in_ref, out_ref):
 
     ``sc_ref``: [n_active_tiles, n_inputs, ds] runtime scalars.  Grid
     lengths are power-of-two bucketed (one executable per bucket, see
-    ``_to_tiles``); tiles past ``sc_ref[0]`` hold only padding and skip the
-    permutation entirely — bucketing costs compile reuse, not compute."""
+    ``_bucket_tiles``); tiles past ``sc_ref[0]`` hold only padding and skip
+    the permutation entirely — bucketing costs compile reuse, not compute."""
 
     @pl.when(pl.program_id(0) < sc_ref[0])
     def _():
@@ -438,32 +438,6 @@ def verify_proofs_pallas(positions, siblings, leaves, root, arity: int):
     return ok if bp == k else ok[:k]
 
 
-def _to_tiles(x: jnp.ndarray):
-    """[B, k, 16] -> ([k, 16, R, 128], B, padded B): digit-major row tiles.
-
-    B pads to a power-of-two number of tiles: every distinct grid length is
-    its own compiled executable (minutes each over a tunneled backend), and
-    bucketing bounds the set logarithmically.  Power-of-arity Merkle levels
-    and power-of-two hash batches pad by zero rows."""
-    b = x.shape[0]
-    tile = SUBLANE_TILE * LANES
-    n_tiles = max(1, -(-b // tile))
-    bp = _bucket_tiles(n_tiles) * tile
-    if bp > b:
-        x = jnp.concatenate(
-            [x, jnp.zeros((bp - b,) + x.shape[1:], jnp.uint32)], axis=0
-        )
-    xt = jnp.transpose(x, (1, 2, 0)).reshape(
-        x.shape[1], ND, bp // LANES, LANES
-    )
-    return xt, b, bp
-
-
-def _from_tiles(out: jnp.ndarray, b: int, bp: int) -> jnp.ndarray:
-    """[16, R, 128] -> [B, 16]."""
-    return out.reshape(ND, bp).T[:b]
-
-
 # Width padding bound shared with the jnp path: all widths <= 8 share one
 # kernel executable per batch bucket.
 PAD_WIDTH = 8
@@ -533,11 +507,19 @@ def _scalars(*vals) -> jnp.ndarray:
 
 @jax.jit
 def _sponge_chain(padded: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
-    """Full tile->kernel->untile chain on BUCKET-PADDED ``[BP, W, 16]``
-    input: one executable per (batch bucket, width bucket), ONE dispatch per
-    call.  Dependent dispatches cost ~20 ms each over tunneled backends, so
-    chain length — not op cost — dominates small-batch latency."""
-    bp, w = padded.shape[0], padded.shape[1]
+    """Full width-pad->tile->kernel->untile chain on BUCKET-PADDED
+    ``[BP, n, 16]`` input (n = RAW hash width): one executable per
+    (batch bucket, width), ONE dispatch per call.  The width pad lives
+    INSIDE this program — as a separate eager op it made every hash call a
+    2-hop dependent chain, and dependent hops cost ~5-20 ms each over
+    tunneled backends (measured 9.8 ms/call -> the reference's batch-4096
+    config ran at 0.19x baseline; chain length, not op cost, dominates
+    small-batch latency).  The padded width never reaches the kernel
+    executable key: all widths <= 8 share one kernel per batch bucket."""
+    bp, n = padded.shape[0], padded.shape[1]
+    w = max(PAD_WIDTH, n + (n & 1))
+    if w != n:
+        padded = jnp.pad(padded, ((0, 0), (0, w - n), (0, 0)))
     xt = jnp.transpose(padded, (1, 2, 0)).reshape(w, ND, bp // LANES, LANES)
     out = _sponge_tiles(xt, scalars)
     return out.reshape(ND, bp).T
@@ -546,40 +528,65 @@ def _sponge_chain(padded: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
 def _sponge_pallas(inputs: jnp.ndarray, ds: int) -> jnp.ndarray:
     """Batched sponge over ``[B, n, 16]`` digit arrays.
 
-    Python-level wrapper: pads batch/width to buckets (at most two tiny
-    eager ops), runs the fused chain, slices the result."""
+    Python-level wrapper: pads the batch to its bucket (one tiny eager op,
+    only when misaligned), runs the fused one-dispatch chain, slices."""
     inputs = jnp.asarray(inputs, jnp.uint32)
     b, n = inputs.shape[0], inputs.shape[1]
     if n == 0:
         # Empty input: no permutation, state[1] stays 0 (SURVEY.md B.4).
         return jnp.zeros((b, ND), jnp.uint32)
-    w = max(PAD_WIDTH, n + (n & 1))
+    bp, active = _bucket_batch(b)
+    if bp != b:
+        inputs = jnp.pad(inputs, ((0, bp - b), (0, 0), (0, 0)))
+    out = _sponge_chain(inputs, _scalars(active, n, ds))
+    return out if bp == b else out[:b]
+
+
+@jax.jit
+def _single_chain(x: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
+    """hash_single's whole device program: reshape + width-pad + tile +
+    kernel + untile in ONE dispatch (jit-of-jit inlines _sponge_chain)."""
+    return _sponge_chain(x[:, None, :], scalars)
+
+
+@jax.jit
+def _pair_chain(l: jnp.ndarray, r: jnp.ndarray, scalars: jnp.ndarray):
+    """hash_pair's whole device program: the operand stack lives INSIDE the
+    jit — as a separate eager op it made every call a 2-hop dependent chain
+    (~5-20 ms/hop over tunneled backends; measured +105 ns/hash at batch
+    4096)."""
+    return _sponge_chain(jnp.stack([l, r], axis=1), scalars)
+
+
+def _bucket_batch(b: int):
+    """(padded batch, active tiles) for a raw batch size."""
     tile = SUBLANE_TILE * LANES
     n_tiles = max(1, -(-b // tile))
-    bp = _bucket_tiles(n_tiles) * tile
-    if w != n or bp != b:
-        padded = jnp.zeros((bp, w, ND), jnp.uint32).at[:b, :n].set(inputs)
-    else:
-        padded = inputs
-    out = _sponge_chain(padded, _scalars((b + tile - 1) // tile, n, ds))
-    return out if bp == b else out[:b]
+    return _bucket_tiles(n_tiles) * tile, (b + tile - 1) // tile
 
 
 def hash_single_pallas(x: jnp.ndarray) -> jnp.ndarray:
     """Batched single-input hash, ds=1 (poseidon.cpp:89-91): [B,16]->[B,16]."""
     x = jnp.asarray(x, jnp.uint32)
-    return _sponge_pallas(x[:, None, :], oracle.DS_SINGLE)
+    b = x.shape[0]
+    bp, active = _bucket_batch(b)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0)))
+    out = _single_chain(x, _scalars(active, 1, oracle.DS_SINGLE))
+    return out if bp == b else out[:b]
 
 
 def hash_pair_pallas(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     """Batched pair hash, ds=2 (poseidon.cpp:93-96)."""
-    return _sponge_pallas(
-        jnp.stack(
-            [jnp.asarray(left, jnp.uint32), jnp.asarray(right, jnp.uint32)],
-            axis=1,
-        ),
-        oracle.DS_PAIR,
-    )
+    l = jnp.asarray(left, jnp.uint32)
+    r = jnp.asarray(right, jnp.uint32)
+    b = l.shape[0]
+    bp, active = _bucket_batch(b)
+    if bp != b:
+        l = jnp.pad(l, ((0, bp - b), (0, 0)))
+        r = jnp.pad(r, ((0, bp - b), (0, 0)))
+    out = _pair_chain(l, r, _scalars(active, 2, oracle.DS_PAIR))
+    return out if bp == b else out[:b]
 
 
 def hash_multiple_pallas(inputs: jnp.ndarray) -> jnp.ndarray:
@@ -625,13 +632,23 @@ def _permutation_tiles(xt: jnp.ndarray, n_active: jnp.ndarray):
     )(jnp.asarray(RC_TABLE), n_active, xt)
 
 
+@jax.jit
+def _permutation_chain(padded: jnp.ndarray, n_active: jnp.ndarray):
+    """Tile->kernel->untile on BUCKET-PADDED ``[BP, 3, 16]`` states: ONE
+    dispatch per call (see :func:`_sponge_chain` for the hop economics)."""
+    bp = padded.shape[0]
+    xt = jnp.transpose(padded, (1, 2, 0)).reshape(3, ND, bp // LANES, LANES)
+    out = _permutation_tiles(xt, n_active)
+    return out.reshape(3, ND, bp).transpose(2, 0, 1)
+
+
 def permutation_pallas(states: jnp.ndarray) -> jnp.ndarray:
     """Raw batched permutation on ``[B, 3, 16]`` states (any canonical
     256-bit values — the analog of batch_permutation)."""
     states = jnp.asarray(states, jnp.uint32)
-    xt, b, bp = _to_tiles(states)  # [3, 16, R, 128]
-    tile = SUBLANE_TILE * LANES
-    out = _permutation_tiles(xt, _scalars((b + tile - 1) // tile))
-    # [3, 16, R, 128] -> [B, 3, 16]
-    res = out.reshape(3, ND, bp).transpose(2, 0, 1)
-    return res[:b]
+    b = states.shape[0]
+    bp, active = _bucket_batch(b)
+    if bp != b:
+        states = jnp.pad(states, ((0, bp - b), (0, 0), (0, 0)))
+    res = _permutation_chain(states, _scalars(active))
+    return res if bp == b else res[:b]

@@ -7,6 +7,8 @@ from cuzk_tpu import oracle
 rng = np.random.default_rng(5)
 B = int(os.environ.get('BB', '32768')); N = 16
 bufs = [(jnp.asarray(rng.integers(0,1<<16,(B,16),np.uint32)), jnp.asarray(rng.integers(0,1<<16,(B,16),np.uint32))) for _ in range(4)]
+for _b in bufs[1:]:  # drain every input upload out of the timed region
+    _ = np.asarray(hash_pair_pallas(*_b)[0])
 out0 = hash_pair_pallas(*bufs[0])
 # bit-exactness gate
 got = fr.array_to_ints(np.asarray(out0[:2]))

@@ -210,16 +210,14 @@ def test_fused_build_matches_host_driven_tpu():
         xs = [rng.randrange(oracle.P) for _ in range(count)]
         leaves = leaves_arr(xs)
         padded = merkle.padded_leaf_count(count, arity)
-        fused = merkle._build_levels_fused(
-            jnp.asarray(leaves, jnp.uint32), arity, padded
-        )
-        # host-driven twin on the same backend
         e = np.array(merkle._empty_hash_digits(arity), np.uint32)
         parts = [np.asarray(leaves, np.uint32)]
         if padded > count:
             parts.append(np.broadcast_to(e, (padded - count, fr.NDIGITS)))
-        work = np.concatenate(parts, axis=0)
-        want = merkle._build_levels(jnp.asarray(work, jnp.uint32), arity)
+        work = jnp.asarray(np.concatenate(parts, axis=0), jnp.uint32)
+        fused = merkle._build_levels_fused(work, arity)
+        # host-driven twin on the same backend
+        want = merkle._build_levels(work, arity)
         assert len(fused) == len(want)
         for a, b in zip(fused, want):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
