@@ -505,3 +505,46 @@ def build_batch_trees(
     return [
         NaryMerkleTree(ls, MerkleConfig(arity)) for ls in leaf_sets
     ]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (no reference analog — SURVEY.md §5 lists it as the
+# one optional aux subsystem: persist tree levels so large builds are
+# restartable / shippable between hosts).
+# ---------------------------------------------------------------------------
+
+def save_tree(tree: "NaryMerkleTree", path: str) -> None:
+    """Serialize a built tree (config + every level) to an ``.npz`` file.
+
+    Levels are written as host numpy arrays; loading restores device
+    arrays lazily on first use.  The root is round-trip-verified by
+    :func:`load_tree` against the stored arity's rebuild invariants only
+    implicitly (levels are trusted data — verify against ``merkle_root``
+    if the file crosses a trust boundary)."""
+    if not tree.levels:
+        raise ValueError("cannot save an empty tree")
+    np.savez_compressed(
+        path,
+        arity=np.int64(tree.config.arity),
+        num_leaves=np.int64(tree.get_leaf_count()),
+        **{
+            f"level_{i}": np.asarray(lv, np.uint32)
+            for i, lv in enumerate(tree.levels)
+        },
+    )
+
+
+def load_tree(path: str) -> "NaryMerkleTree":
+    """Restore a tree saved by :func:`save_tree` without rehashing."""
+    with np.load(path) as data:
+        arity = int(data["arity"])
+        num_leaves = int(data["num_leaves"])
+        n_levels = sum(1 for k in data.files if k.startswith("level_"))
+        levels = [
+            jnp.asarray(data[f"level_{i}"], jnp.uint32)
+            for i in range(n_levels)
+        ]
+    tree = NaryMerkleTree(config=MerkleConfig(arity))
+    tree._num_leaves = num_leaves
+    tree._levels = levels
+    return tree

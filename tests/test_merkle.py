@@ -225,3 +225,25 @@ def test_fused_build_matches_host_driven_tpu():
         assert fr.array_to_ints(np.asarray(fused[-1]))[0] == oracle.merkle_root(
             xs, arity
         )
+
+
+def test_save_load_tree_roundtrip(tmp_path):
+    """Checkpoint/resume: a saved tree reloads with identical levels, root,
+    and proof behavior (SURVEY.md §5's optional persistence subsystem)."""
+    xs = [rng.randrange(oracle.P) for _ in range(10)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity=4))
+    path = str(tmp_path / "tree.npz")
+    merkle.save_tree(tree, path)
+    loaded = merkle.load_tree(path)
+    assert loaded.config.arity == 4
+    assert loaded.get_leaf_count() == 10
+    assert merkle.compare_trees(tree, loaded)
+    assert loaded.root_int() == tree.root_int()
+    pos, sib = loaded.generate_batch_proofs([0, 7, 9])
+    import jax.numpy as jnp
+
+    proved = loaded.levels[0][jnp.asarray([0, 7, 9])]
+    assert bool(loaded.verify_batch_proofs(pos, sib, proved))
+
+    with pytest.raises(ValueError):
+        merkle.save_tree(merkle.NaryMerkleTree(), path)
