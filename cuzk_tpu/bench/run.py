@@ -176,6 +176,26 @@ def bench_batch_verify(
     return out
 
 
+def bench_merkle_sweep(
+    arities=range(2, 9), sizes=(64, 256, 1024, 4096), proofs: int = 256
+) -> List[Dict]:
+    """Arity 2-8 and leaf-count sweep, mirroring the reference's
+    benchmark-as-test tables (test_merkle_benchmark.cpp:39-235 sweeps
+    arities 2-8 and sizes 64-4096; test_merkle_benchmark_cuda.cpp adds
+    proof-batch sweeps).  Emits one JSON line per (arity, size) build plus
+    a proof-batch verify at the largest size per arity."""
+    results: List[Dict] = []
+    for arity in arities:
+        for n in sizes:
+            res = bench_merkle_build(n, arity, iters=3)
+            results.append(res)
+            print(json.dumps(res))
+        res = bench_batch_verify(proofs, sizes[-1], arity, iters=3)
+        results.append(res)
+        print(json.dumps(res))
+    return results
+
+
 def bench_sharded_build(
     n_leaves: int, arity: int, n_devices: int = None, iters: int = 3
 ) -> Dict:
@@ -243,7 +263,7 @@ def main() -> None:
     parser.add_argument(
         "--suite",
         default="all",
-        choices=["all", "poseidon", "merkle", "proofs", "scaling"],
+        choices=["all", "poseidon", "merkle", "proofs", "scaling", "sweep"],
     )
     parser.add_argument("--devices", type=int, default=None)
     parser.add_argument("--path", default="pallas", choices=["pallas", "jnp"])
@@ -290,6 +310,9 @@ def main() -> None:
         res = bench_batch_verify(args.proofs, args.leaves, args.arity)
         results.append(res)
         print(json.dumps(res))
+
+    if args.suite == "sweep":
+        results.extend(bench_merkle_sweep())
 
     if args.suite == "scaling":
         if args.weak:
