@@ -247,3 +247,70 @@ def test_save_load_tree_roundtrip(tmp_path):
 
     with pytest.raises(ValueError):
         merkle.save_tree(merkle.NaryMerkleTree(), path)
+
+
+# ---------------------------------------------------------------------------
+# Deduplicated batch verification (merkle.verify_all with dedupe=True):
+# must agree with the per-proof path in every case, including tampered
+# batches (which exercise the merge-check fallback).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("arity", [2, 3, 4, 8])
+def test_dedup_verify_matches_per_proof(arity):
+    xs = [rng.randrange(oracle.P) for _ in range(41)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    # overlapping + duplicate indices so chains genuinely merge
+    idxs = list(range(30)) + [5, 5, 12, 29]
+    pos, sib = tree.generate_batch_proofs(idxs)
+    proved = tree.levels[0][np.array(idxs)]
+    root = tree.get_root_hash()
+    pos, sib = np.asarray(pos), np.asarray(sib)
+    assert merkle.verify_all(pos, sib, proved, root, arity, dedupe=True)
+    assert merkle.verify_all(pos, sib, proved, root, arity, dedupe=False)
+
+
+@pytest.mark.parametrize("arity", [2, 4])
+def test_dedup_verify_rejects_tampered(arity):
+    xs = [rng.randrange(oracle.P) for _ in range(33)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    idxs = list(range(24))
+    pos, sib = tree.generate_batch_proofs(idxs)
+    pos, sib = np.asarray(pos), np.asarray(sib)
+    proved = np.asarray(tree.levels[0][np.array(idxs)])
+    root = np.asarray(tree.get_root_hash())
+
+    bad_leaf = proved.copy()
+    bad_leaf[7, 3] ^= 1  # merge-check mismatch -> exact fallback path
+    assert not merkle.verify_all(pos, sib, bad_leaf, root, arity, dedupe=True)
+
+    bad_sib = sib.copy()
+    bad_sib[3, 1, 0, 2] ^= 1
+    assert not merkle.verify_all(pos, bad_sib, proved, root, arity, dedupe=True)
+
+    bad_root = root.copy()
+    bad_root[0] ^= 1
+    assert not merkle.verify_all(pos, sib, proved, bad_root, arity, dedupe=True)
+
+    bad_pos = pos.copy()
+    bad_pos[2, 0] = (bad_pos[2, 0] + 1) % arity
+    assert not merkle.verify_all(bad_pos, sib, proved, root, arity, dedupe=True)
+
+
+def test_dedup_verify_duplicate_full_suffix_conflict():
+    """Two proofs with identical (positions, siblings) but different claimed
+    leaves: the level-0 merge check must catch the conflict and the result
+    must equal per-proof semantics."""
+    arity = 2
+    xs = [rng.randrange(oracle.P) for _ in range(8)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    idxs = [3] * 4 + list(range(8))
+    pos, sib = tree.generate_batch_proofs(idxs)
+    pos, sib = np.asarray(pos), np.asarray(sib)
+    proved = np.asarray(tree.levels[0][np.array(idxs)])
+    root = np.asarray(tree.get_root_hash())
+    assert merkle.verify_all(pos, sib, proved, root, arity, dedupe=True)
+    conflicted = proved.copy()
+    conflicted[1, 0] ^= 1  # one of the duplicate-index proofs lies
+    got = merkle.verify_all(pos, sib, conflicted, root, arity, dedupe=True)
+    want = merkle.verify_all(pos, sib, conflicted, root, arity, dedupe=False)
+    assert got == want == False  # noqa: E712
