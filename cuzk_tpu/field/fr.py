@@ -162,12 +162,20 @@ def red(a: jnp.ndarray) -> jnp.ndarray:
 
     The reference loops ``while (a >= p) a -= p`` (up to 5 iterations,
     field_arithmetic.cpp:244-248); subtracting 4p/2p/p conditionally yields
-    the identical residue in 3 fixed steps (2^256 - 1 < 6p).
+    the identical residue in 3 fixed steps (2^256 - 1 < 6p).  The 3 steps
+    run as a ``lax.scan`` over the stacked constants so the conditional
+    subtract is traced (and LLVM-compiled) once, not three times — XLA:CPU
+    compile cost is per-op, and sponge-sized programs were minutes-slow.
     """
-    a = _cond_sub(a, P4_DIGITS)
-    a = _cond_sub(a, P2_DIGITS)
-    a = _cond_sub(a, P_DIGITS)
-    return a
+    consts = jnp.stack(
+        [jnp.asarray(P4_DIGITS), jnp.asarray(P2_DIGITS), jnp.asarray(P_DIGITS)]
+    )
+
+    def step(acc, m):
+        return _cond_sub(acc, m), None
+
+    out, _ = jax.lax.scan(step, a, consts)
+    return out
 
 
 def wrap_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -227,13 +235,31 @@ def _schoolbook_cols(a: jnp.ndarray, b: jnp.ndarray, n_out: int):
     column i+j+1, accumulated as TWO dots against constant 0/1 spreading
     matrices (exact in u32: <=32 terms of <2^16 each per column keeps sums
     < 2^21).  The dot form is ~5 HLO ops where the old padded-row-add form
-    was ~130 — the single largest contributor to sponge compile time."""
+    was ~130 — the single largest contributor to sponge compile time.
+
+    On the CPU backend the dots run in f32 (exact: every operand < 2^16 and
+    every column sum < 2^21 < 2^24 is exactly representable) — XLA:CPU emits
+    an Eigen GEMM call instead of scalar-unrolled integer loops, which cuts
+    LLVM compile time of each multiply ~12x (6.5 s -> 0.5 s measured on this
+    1-core host; the 64-round sponge compiles in seconds instead of minutes).
+    On TPU the u32 dot is kept: integer dots are exact there by construction,
+    while f32 MXU passes may not carry 21 mantissa bits at default precision.
+    """
     prod = a[..., :, None] * b[..., None, :]  # [..., 16, 16], exact in u32
     flat_shape = prod.shape[:-2] + (NDIGITS * NDIGITS,)
     lo = (prod & DIGIT_MASK).reshape(flat_shape)
     hi = (prod >> DIGIT_BITS).reshape(flat_shape)
     sl, sh = _spread_matrices(n_out)
     dims = (((lo.ndim - 1,), (0,)), ((), ()))
+    if jax.default_backend() == "cpu":
+        return (
+            jax.lax.dot_general(
+                lo.astype(jnp.float32), jnp.asarray(sl, jnp.float32), dims
+            )
+            + jax.lax.dot_general(
+                hi.astype(jnp.float32), jnp.asarray(sh, jnp.float32), dims
+            )
+        ).astype(jnp.uint32)
     return jax.lax.dot_general(
         lo, jnp.asarray(sl), dims, preferred_element_type=jnp.uint32
     ) + jax.lax.dot_general(
@@ -291,10 +317,22 @@ def square(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def power5(a: jnp.ndarray) -> jnp.ndarray:
-    """a^5 = ((a^2)^2)*a (field_arithmetic.cpp:332-338)."""
-    a2 = mul(a, a)
-    a4 = mul(a2, a2)
-    return mul(a4, a)
+    """a^5 = ((a^2)^2)*a (field_arithmetic.cpp:332-338).
+
+    The three dependent multiplies run as a 3-step ``lax.scan`` whose body is
+    ONE traced :func:`mul` (step 2 swaps the right operand from the running
+    square to the original ``a`` via a select), so the multiply's program is
+    LLVM-compiled once instead of three times.  Bit-identical to the inline
+    chain; cuts the compile cost of every power5 (and with it the 64-round
+    sponge, which is dominated by S-box multiplies) roughly in half.
+    """
+
+    def step(cur, i):
+        rhs = jnp.where(i == 2, a, cur)
+        return mul(cur, rhs), None
+
+    out, _ = jax.lax.scan(step, a, jnp.arange(3))
+    return out
 
 
 def mul_small(a: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:

@@ -143,19 +143,25 @@ def _permute_stacked(s, full_round0_add: bool = False):
     ``add_rr``'s single conditional subtract equals the oracle add exactly.
     The public raw permutation may see arbitrary canonical 256-bit state
     (the reference's batch_permutation adds with full reduction) — it passes
-    True so round 0 uses the oracle's full wrap-at-2^256 add."""
+    True so round 0 uses the oracle's full wrap-at-2^256 add.
+
+    The full/partial S-box switch is a SELECT, not a ``lax.cond``: the body
+    computes power5 on the whole stacked state and keeps rows 1..2 unchanged
+    in partial rounds.  A cond would compile two power5 programs (one per
+    branch) — on the XLA:CPU backend, where compile cost is per-op and the
+    sponge was minutes-slow, one traced power5 halves the round body.  The
+    extra runtime multiplies only affect this portable jnp path; the TPU hot
+    path is the fused Pallas kernel."""
     add0 = fr.add if full_round0_add else fr.add_rr
     s = add0(s, jnp.asarray(RC_DIGITS[0]))
 
     def step(carry, xs):
         rc_next, is_full = xs
-        st = jax.lax.cond(
+        p5 = fr.power5(carry)
+        st = jnp.where(
             is_full,
-            fr.power5,
-            lambda t: jnp.concatenate(
-                [fr.power5(t[..., :1, :]), t[..., 1:, :]], axis=-2
-            ),
-            carry,
+            p5,
+            jnp.concatenate([p5[..., :1, :], carry[..., 1:, :]], axis=-2),
         )
         st = _mds_layer(st)
         return fr.add_rr(st, rc_next), None
