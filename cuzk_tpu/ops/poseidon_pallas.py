@@ -203,6 +203,14 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def poseidon_mod():
+    """Lazy import of the element-major jnp twin (function-local to keep the
+    module import graph acyclic for tooling; Python caches it)."""
+    from cuzk_tpu import poseidon
+
+    return poseidon
+
+
 def _bucket_tiles(n_tiles: int) -> int:
     """Grid-length bucket for a requested tile count: exact up to 8 tiles,
     power-of-two above.  Every distinct grid length is its own compiled
@@ -283,6 +291,49 @@ def _make_verify_kernel(arity: int, height: int):
     return kernel
 
 
+def _verify_elementwise(pos_e, sib_e, leaf_e, arity: int, height: int):
+    """Portable verification walk on ELEMENT-MAJOR proofs: ``pos_e [B, h]``,
+    ``sib_e [B, h, a-1, 16]``, ``leaf_e [B, 16]`` -> recomputed roots
+    ``[B, 16]``.  The scanned jnp twin of the fused kernel's level walk —
+    bit-identical (fieldslab ops are per-op differentially tested on CPU;
+    the kernel composition is differentially tested on TPU).  The slab form
+    of this walk compiles to a ~100k-op HLO program that XLA:CPU chews on
+    for tens of minutes, hence this twin."""
+    from cuzk_tpu import poseidon
+
+    jcol = jnp.arange(arity, dtype=jnp.int32)
+
+    def level(lvl, cur):
+        p = jax.lax.dynamic_index_in_dim(
+            pos_e, lvl, axis=1, keepdims=False
+        )  # [B]
+        sib_l = jax.lax.dynamic_index_in_dim(
+            sib_e, lvl, axis=1, keepdims=False
+        )  # [B, a-1, 16]
+        # Child group: current node at its proof position, siblings
+        # j' = j - (j > p) around it (merkle_tree.cpp:224-253).
+        jp = jnp.clip(
+            jcol[None, :] - (jcol[None, :] > p[:, None]), 0, arity - 2
+        )
+        gathered = jnp.take_along_axis(sib_l, jp[..., None], axis=1)
+        group = jnp.where(
+            (jcol[None, :] == p[:, None])[..., None],
+            cur[:, None, :],
+            gathered,
+        )  # [B, a, 16]
+        if arity < PAD_WIDTH:
+            # Pad to the shared width bucket (absorbing a padded zero is
+            # bit-exactly a no-op and the absorb loop's trip count is
+            # runtime-n, so padding costs nothing): all arities reuse
+            # one _sponge_dyn executable per batch size.
+            group = jnp.pad(group, ((0, 0), (0, PAD_WIDTH - arity), (0, 0)))
+        return poseidon._sponge_dyn(
+            group, jnp.int32(arity), jnp.int32(oracle.DS_MULTIPLE)
+        )
+
+    return jax.lax.fori_loop(0, height, level, leaf_e)  # [B, 16]
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6))
 def _verify_chain(positions, siblings, leaves, root, n_active, arity: int,
                   height: int):
@@ -291,8 +342,15 @@ def _verify_chain(positions, siblings, leaves, root, n_active, arity: int,
     [BP, h, a-1, 16]``, ``leaves [BP, 16]``, ``root [16]`` -> validity
     ``[BP] bool``.  The root comparison lives INSIDE this (bucketed, reused)
     executable so the whole verification is ONE dispatch — over tunneled
-    backends each dependent dispatch hop costs ~10-20 ms (docs/PERF.md)."""
+    backends each dependent dispatch hop costs ~10-20 ms (docs/PERF.md).
+
+    Off-TPU the element-major walk runs directly — no lane tiling, so the
+    batch bucket is small (see ``_tile_elems``) and the executables (and
+    their minutes-scale XLA:CPU compiles) are shared with the jnp path."""
     bp, h = positions.shape
+    if not _on_tpu():
+        out = _verify_elementwise(positions, siblings, leaves, arity, h)
+        return jnp.all(out == root[None, :], axis=-1)
     rows = bp // LANES
     pos_t = positions.T.reshape(h, rows, LANES)
     sib_t = jnp.transpose(siblings, (1, 2, 3, 0)).reshape(
@@ -311,54 +369,16 @@ def _verify_tiles(pos_t, sib_t, leaf_t, n_active, arity: int, height: int):
     bucketed, ``n_active`` dynamic)."""
     rows = leaf_t.shape[1]
     if not _on_tpu():
-        # Portable path: the SCANNED element-major jnp program.  The slab
-        # form of this walk compiles to a ~100k-op HLO program that XLA:CPU
-        # chews on for tens of minutes and tens of GB; the scanned jnp twin
-        # is bit-identical (fieldslab ops are per-op differentially tested
-        # on CPU; the kernel composition is differentially tested on TPU).
-        from cuzk_tpu import poseidon
-
+        # Portable path (only reachable when called with pre-tiled tensors
+        # off-TPU; the production off-TPU route is _verify_chain ->
+        # _verify_elementwise with no tiling at all).
         b = rows * LANES
         pos_e = pos_t.reshape(height, b).T  # [B, h]
         sib_e = jnp.transpose(
             sib_t.reshape(height, arity - 1, ND, b), (3, 0, 1, 2)
         )  # [B, h, a-1, 16]
         leaf_e = leaf_t.reshape(ND, b).T  # [B, 16]
-        jcol = jnp.arange(arity, dtype=jnp.int32)
-
-        def level(lvl, cur):
-            p = jax.lax.dynamic_index_in_dim(
-                pos_e, lvl, axis=1, keepdims=False
-            )  # [B]
-            sib_l = jax.lax.dynamic_index_in_dim(
-                sib_e, lvl, axis=1, keepdims=False
-            )  # [B, a-1, 16]
-            # Child group: current node at its proof position, siblings
-            # j' = j - (j > p) around it (merkle_tree.cpp:224-253).
-            jp = jnp.clip(
-                jcol[None, :] - (jcol[None, :] > p[:, None]), 0, arity - 2
-            )
-            gathered = jnp.take_along_axis(sib_l, jp[..., None], axis=1)
-            group = jnp.where(
-                (jcol[None, :] == p[:, None])[..., None],
-                cur[:, None, :],
-                gathered,
-            )  # [B, a, 16]
-            if arity < PAD_WIDTH:
-                # Pad to the shared width bucket (absorbing a padded zero is
-                # bit-exactly a no-op and the absorb loop's trip count is
-                # runtime-n, so padding costs nothing): all arities reuse
-                # one _sponge_dyn executable per batch size.
-                group = jnp.pad(
-                    group, ((0, 0), (0, PAD_WIDTH - arity), (0, 0))
-                )
-            return poseidon._sponge_dyn(
-                group,
-                jnp.int32(arity),
-                jnp.int32(oracle.DS_MULTIPLE),
-            )
-
-        out = jax.lax.fori_loop(0, height, level, leaf_e)  # [B, 16]
+        out = _verify_elementwise(pos_e, sib_e, leaf_e, arity, height)
         return out.T.reshape(ND, rows, LANES)
     grid = (rows // SUBLANE_TILE,)
     return pl.pallas_call(
@@ -424,7 +444,7 @@ def verify_proofs_pallas(positions, siblings, leaves, root, arity: int):
     k, h = positions.shape
     if h == 0:
         return jnp.all(leaves == root[None, :], axis=-1)
-    tile = SUBLANE_TILE * LANES
+    tile = _tile_elems()
     n_tiles = max(1, -(-k // tile))
     bp = _bucket_tiles(n_tiles) * tile
     if bp != k:
@@ -529,12 +549,19 @@ def _sponge_pallas(inputs: jnp.ndarray, ds: int) -> jnp.ndarray:
     """Batched sponge over ``[B, n, 16]`` digit arrays.
 
     Python-level wrapper: pads the batch to its bucket (one tiny eager op,
-    only when misaligned), runs the fused one-dispatch chain, slices."""
+    only when misaligned), runs the fused one-dispatch chain, slices.
+
+    Off-TPU this routes straight to the element-major jnp sponge — the
+    bit-identical portable twin — so both paths share one set of compiled
+    (bucket, width) executables: XLA:CPU compiles of the sponge cost ~10 s
+    each, and the test suite exercises both APIs on every bucket."""
     inputs = jnp.asarray(inputs, jnp.uint32)
     b, n = inputs.shape[0], inputs.shape[1]
     if n == 0:
         # Empty input: no permutation, state[1] stays 0 (SURVEY.md B.4).
         return jnp.zeros((b, ND), jnp.uint32)
+    if not _on_tpu():
+        return poseidon_mod()._sponge_bucketed(inputs, ds)
     bp, active = _bucket_batch(b)
     if bp != b:
         inputs = jnp.pad(inputs, ((0, bp - b), (0, 0), (0, 0)))
@@ -558,16 +585,26 @@ def _pair_chain(l: jnp.ndarray, r: jnp.ndarray, scalars: jnp.ndarray):
     return _sponge_chain(jnp.stack([l, r], axis=1), scalars)
 
 
+def _tile_elems() -> int:
+    """Elements per grid tile: a full sublane x lane tile on TPU; 8 off-TPU,
+    where there is no lane tiling and padding every call to 1024 elements
+    cost a 128x runtime overhead in the CPU-backend test suite."""
+    return SUBLANE_TILE * LANES if _on_tpu() else 8
+
+
 def _bucket_batch(b: int):
     """(padded batch, active tiles) for a raw batch size."""
-    tile = SUBLANE_TILE * LANES
+    tile = _tile_elems()
     n_tiles = max(1, -(-b // tile))
     return _bucket_tiles(n_tiles) * tile, (b + tile - 1) // tile
 
 
 def hash_single_pallas(x: jnp.ndarray) -> jnp.ndarray:
-    """Batched single-input hash, ds=1 (poseidon.cpp:89-91): [B,16]->[B,16]."""
+    """Batched single-input hash, ds=1 (poseidon.cpp:89-91): [B,16]->[B,16].
+    Off-TPU: the element-major jnp twin (see :func:`_sponge_pallas`)."""
     x = jnp.asarray(x, jnp.uint32)
+    if not _on_tpu():
+        return poseidon_mod().hash_single(x)
     b = x.shape[0]
     bp, active = _bucket_batch(b)
     if bp != b:
@@ -577,9 +614,12 @@ def hash_single_pallas(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def hash_pair_pallas(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
-    """Batched pair hash, ds=2 (poseidon.cpp:93-96)."""
+    """Batched pair hash, ds=2 (poseidon.cpp:93-96).
+    Off-TPU: the element-major jnp twin (see :func:`_sponge_pallas`)."""
     l = jnp.asarray(left, jnp.uint32)
     r = jnp.asarray(right, jnp.uint32)
+    if not _on_tpu():
+        return poseidon_mod().hash_pair(l, r)
     b = l.shape[0]
     bp, active = _bucket_batch(b)
     if bp != b:
@@ -644,8 +684,11 @@ def _permutation_chain(padded: jnp.ndarray, n_active: jnp.ndarray):
 
 def permutation_pallas(states: jnp.ndarray) -> jnp.ndarray:
     """Raw batched permutation on ``[B, 3, 16]`` states (any canonical
-    256-bit values — the analog of batch_permutation)."""
+    256-bit values — the analog of batch_permutation).
+    Off-TPU: the element-major jnp twin (see :func:`_sponge_pallas`)."""
     states = jnp.asarray(states, jnp.uint32)
+    if not _on_tpu():
+        return poseidon_mod().permutation(states)
     b = states.shape[0]
     bp, active = _bucket_batch(b)
     if bp != b:

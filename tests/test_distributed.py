@@ -35,7 +35,10 @@ def test_sharded_hash_pairs_matches_local():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.parametrize("arity,count,ndev", [(2, 32, 8), (4, 64, 4), (8, 64, 8)])
+# One sharded level per (mesh, arity) combo: every extra local level is
+# another ~8 s XLA:CPU shard_map compile, and the multi-level local build is
+# covered by test_sharded_levels_concatenate_to_full_tree below.
+@pytest.mark.parametrize("arity,count,ndev", [(2, 16, 8), (4, 16, 4), (8, 64, 8)])
 def test_sharded_root_matches_single_device(arity, count, ndev):
     mesh = distributed.make_mesh(ndev)
     leaves = rand_leaves(count)
