@@ -110,21 +110,141 @@ class PallasPoseidonEngine(PoseidonEngine):
         return permutation_pallas(states)
 
 
+class DeferredHashes:
+    """Handle for queued hashes; ``get()`` forces the owning engine's flush
+    and returns this call's ``[B, 16]`` results (a view into the fused
+    dispatch's output)."""
+
+    __slots__ = ("_engine", "_value")
+
+    def __init__(self, engine: "CoalescingPoseidonEngine"):
+        self._engine = engine
+        self._value = None
+
+    def get(self) -> jnp.ndarray:
+        if self._value is None:
+            self._engine.flush()
+        return self._value
+
+
+class CoalescingPoseidonEngine(PoseidonEngine):
+    """Deferred/coalescing front-end over another engine: ``async_*`` calls
+    enqueue host-side and return :class:`DeferredHashes`; ONE fused device
+    dispatch per flush serves every queued call.
+
+    This is the TPU-native answer to the reference's Small/Medium-Scale
+    batch configs (512 x 10K, 1024 x 100K; benchmark.cpp:213-235).  A device
+    dispatch over a tunneled TPU costs milliseconds of latency regardless of
+    batch size (docs/PERF.md), so a synchronous 512-element dispatch is ~97%
+    latency — the analog of the reference's own per-call
+    cudaMalloc+H2D+sync overhead (poseidon_cuda.cu:279-471), which it pays
+    per batch rather than amortizing.  Coalescing keeps the exact per-call
+    semantics (queues are keyed per op kind and width, so every element
+    hashes with its own domain separator) while the device sees large,
+    MXU/VPU-efficient batches.
+
+    Inputs are staged as host numpy (a device-array argument pays one
+    readback at enqueue): this engine is the host-side front door for
+    request-at-a-time workloads — verifiers, RPC servers — not a wrapper
+    for already-device-resident tensors (call the inner engine directly
+    for those).
+    """
+
+    def __init__(self, inner: PoseidonEngine = None, flush_elems: int = 65536):
+        super().__init__()
+        self.inner = inner if inner is not None else PallasPoseidonEngine()
+        self.flush_elems = flush_elems
+        # queue key -> list of (host_arrays..., DeferredHashes)
+        self._queues: dict = {}
+        self._pending = 0
+
+    # -- async surface ----------------------------------------------------
+    def _enqueue(self, key, arrays) -> DeferredHashes:
+        import numpy as np
+
+        d = DeferredHashes(self)
+        self._queues.setdefault(key, []).append(
+            tuple(np.asarray(a, np.uint32) for a in arrays) + (d,)
+        )
+        self._pending += int(arrays[0].shape[0])
+        if self._pending >= self.flush_elems:
+            self.flush()
+        return d
+
+    def async_hash_single(self, x) -> DeferredHashes:
+        return self._enqueue("single", (x,))
+
+    def async_hash_pairs(self, l, r) -> DeferredHashes:
+        return self._enqueue("pairs", (l, r))
+
+    def async_hash_multiple(self, inputs) -> DeferredHashes:
+        return self._enqueue(("multiple", int(inputs.shape[1])), (inputs,))
+
+    def flush(self) -> None:
+        """One fused device dispatch per (kind, width) with queued work."""
+        import numpy as np
+
+        queues, self._queues, self._pending = self._queues, {}, 0
+        for key, calls in queues.items():
+            kind = key if isinstance(key, str) else key[0]
+            cols = list(zip(*calls))
+            deferreds = cols[-1]
+            stacked = [np.concatenate(c, axis=0) for c in cols[:-1]]
+            if kind == "single":
+                out = self.inner.batch_hash_single(jnp.asarray(stacked[0]))
+            elif kind == "pairs":
+                out = self.inner.batch_hash_pairs(
+                    jnp.asarray(stacked[0]), jnp.asarray(stacked[1])
+                )
+            else:
+                out = self.inner.batch_hash_multiple(jnp.asarray(stacked[0]))
+            off = 0
+            for arrs0, d in zip(cols[0], deferreds):
+                n = arrs0.shape[0]
+                d._value = out[off : off + n]
+                off += n
+            self.stats.total_hashes += off
+            self.stats.batch_count += 1
+
+    # -- synchronous PoseidonEngine surface (enqueue + immediate force) ----
+    def batch_hash_single(self, x):
+        return self.async_hash_single(x).get()
+
+    def batch_hash_pairs(self, l, r):
+        return self.async_hash_pairs(l, r).get()
+
+    def batch_hash_multiple(self, inputs):
+        return self.async_hash_multiple(inputs).get()
+
+    def batch_permutation(self, states):
+        return self.inner.batch_permutation(states)
+
+
 def verify_engines_match(batch: int = 64, seed: int = 7) -> bool:
     """Cross-implementation verification gate
     (verify_cuda_implementations_match, poseidon_cuda_benchmarks.cpp:137-259):
-    deterministic inputs, elementwise equality across engines."""
+    deterministic inputs, elementwise equality across engines, over EVERY
+    exported accelerated op — single/pair (the reference gate's scope) plus
+    ``hash_multiple`` (the op the whole Merkle build/verify runs on) and the
+    raw ``permutation`` (exported API)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     l = jnp.asarray(rng.integers(0, 1 << 16, (batch, 16), np.uint32))
     r = jnp.asarray(rng.integers(0, 1 << 16, (batch, 16), np.uint32))
+    groups = jnp.asarray(rng.integers(0, 1 << 16, (batch, 5, 16), np.uint32))
+    states = jnp.asarray(rng.integers(0, 1 << 16, (batch, 3, 16), np.uint32))
     a, b = JnpPoseidonEngine(), PallasPoseidonEngine()
-    import numpy as _np
 
     return (
-        bool(_np.array_equal(a.batch_hash_pairs(l, r), b.batch_hash_pairs(l, r)))
+        bool(np.array_equal(a.batch_hash_pairs(l, r), b.batch_hash_pairs(l, r)))
+        and bool(np.array_equal(a.batch_hash_single(l), b.batch_hash_single(l)))
         and bool(
-            _np.array_equal(a.batch_hash_single(l), b.batch_hash_single(l))
+            np.array_equal(
+                a.batch_hash_multiple(groups), b.batch_hash_multiple(groups)
+            )
+        )
+        and bool(
+            np.array_equal(a.batch_permutation(states), b.batch_permutation(states))
         )
     )

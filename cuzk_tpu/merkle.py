@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 from cuzk_tpu import oracle, poseidon
 from cuzk_tpu.field import fr
+from cuzk_tpu.utils import errors
 
 MIN_ARITY = oracle.MIN_ARITY
 MAX_ARITY = oracle.MAX_ARITY
@@ -68,10 +69,9 @@ class MerkleConfig:
     arity: int = 2
 
     def __post_init__(self):
-        if not MIN_ARITY <= self.arity <= MAX_ARITY:
-            raise ValueError(
-                f"arity must be in [{MIN_ARITY}, {MAX_ARITY}], got {self.arity}"
-            )
+        # ValidationError subclasses ValueError, matching the reference's
+        # MerkleTreeConfig validation contract (merkle_tree.hpp:24-31).
+        errors.validate_range(self.arity, MIN_ARITY, MAX_ARITY, "arity")
 
 
 @functools.lru_cache(maxsize=None)
@@ -211,9 +211,9 @@ def generate_proofs(
         raise IndexError("empty tree")
     leaf_indices = jnp.atleast_1d(jnp.asarray(leaf_indices, jnp.int32))
     n = int(levels[0].shape[0])
-    bad = [int(i) for i in np.asarray(leaf_indices) if not 0 <= int(i) < n]
-    if bad:
-        raise IndexError(f"leaf index out of range: {bad[0]} (size {n})")
+    for i in np.asarray(leaf_indices):
+        # IndexError_ subclasses IndexError (error_handling.hpp:43-49).
+        errors.validate_index(int(i), n, "leaf index")
     if len(levels) == 1:
         k = leaf_indices.shape[0]
         return (
@@ -691,8 +691,7 @@ def save_tree(tree: "NaryMerkleTree", path: str) -> None:
     :func:`load_tree` against the stored arity's rebuild invariants only
     implicitly (levels are trusted data — verify against ``merkle_root``
     if the file crosses a trust boundary)."""
-    if not tree.levels:
-        raise ValueError("cannot save an empty tree")
+    errors.validate_non_empty(tree.levels, "tree levels")
     np.savez_compressed(
         path,
         arity=np.int64(tree.config.arity),

@@ -76,9 +76,16 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = DATA_AXIS) -> Me
 
 
 def shard_batch(x, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Place ``[n, ...]`` on the mesh sharded along axis 0."""
+    """Place ``[n, ...]`` on the mesh sharded along axis 0.
+
+    Host arrays go straight to ``device_put`` with the (possibly
+    multi-process) sharding: when the mesh spans processes, each process
+    transfers only its addressable shards, so this works unchanged under
+    ``jax.distributed`` (every process holds the same host value)."""
     spec = P(axis_name, *([None] * (np.ndim(x) - 1)))
-    return jax.device_put(jnp.asarray(x, jnp.uint32), NamedSharding(mesh, spec))
+    if not isinstance(x, jax.Array):
+        x = np.ascontiguousarray(np.asarray(x, np.uint32))
+    return jax.device_put(x, NamedSharding(mesh, spec))
 
 
 def _shmap_hash(mesh: Mesh, axis_name: str, kind: str):
@@ -236,3 +243,142 @@ def sharded_merkle_root(
     """Root ``[16]`` of a sharded tree build."""
     _, replicated = sharded_build_levels(leaves, arity, mesh, axis_name)
     return replicated[-1][0]
+
+
+# ---------------------------------------------------------------------------
+# Sharded proof generation — per level, only the O(k * arity) nodes a proof
+# batch actually touches cross the mesh (a masked psum), never the whole
+# sharded level (merkle.generate_proofs would all-gather every lower level
+# of a 1M-leaf tree).
+# ---------------------------------------------------------------------------
+
+
+def _group_extract_fn(mesh: Mesh, axis_name: str, arity: int):
+    """shard_map'd sparse group fetch: (sharded level [m,16], replicated
+    group starts [k]) -> replicated ``[k, arity, 16]`` child groups.
+
+    Each shard contributes the groups whose rows it owns (group boundaries
+    never straddle shards: shard sizes are multiples of ``arity``), zeros
+    elsewhere; one ``psum`` of the k-sized result replicates it.  Per-level
+    communication is O(k * arity) field elements, independent of level size.
+    """
+    key = ("pgather", id(mesh), axis_name, arity)
+    fn = _LEVEL_CACHE.get(key)
+    if fn is None:
+
+        def per_shard(level_local, group_start):
+            local_m = level_local.shape[0]
+            base = jax.lax.axis_index(axis_name).astype(jnp.int32) * local_m
+            rel = group_start.astype(jnp.int32) - base
+            owned = (rel >= 0) & (rel < local_m)
+            rel_c = jnp.clip(rel, 0, max(local_m - arity, 0))
+            rows = rel_c[:, None] + jnp.arange(arity, dtype=jnp.int32)
+            children = level_local[rows]  # [k, arity, 16]
+            children = jnp.where(owned[:, None, None], children, 0)
+            return jax.lax.psum(children, axis_name)
+
+        fn = jax.jit(
+            jax.shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(P(axis_name, None), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        _LEVEL_CACHE[key] = fn
+    return fn
+
+
+def sharded_generate_proofs(
+    sharded_levels: List[jnp.ndarray],
+    replicated_levels: List[jnp.ndarray],
+    arity: int,
+    leaf_indices,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch proofs from a sharded build (``sharded_build_levels`` output).
+
+    Returns the same ``(positions [k, h-1], siblings [k, h-1, a-1, 16])``
+    layout as :func:`merkle.generate_proofs` — bit-identical, verified by
+    tests/test_distributed.py.  Lower (sharded) levels are fetched with the
+    sparse group extractor above; replicated upper levels index locally.
+    """
+    idx = jnp.atleast_1d(jnp.asarray(leaf_indices, jnp.int32))
+    positions, siblings = [], []
+    extract = _group_extract_fn(mesh, axis_name, arity)
+
+    def append_level(children, pos):
+        j = jnp.arange(arity - 1, dtype=jnp.int32)
+        sib_child = j[None, :] + (j[None, :] >= pos[:, None]).astype(jnp.int32)
+        sibs = jnp.take_along_axis(children, sib_child[..., None], axis=1)
+        positions.append(pos)
+        siblings.append(sibs)
+
+    # Sharded lower levels (all but the last, which is gathered as
+    # replicated_levels[0] and handled below).
+    for level in sharded_levels[:-1]:
+        pos = idx % arity
+        group_start = (idx // arity) * arity
+        append_level(extract(level, group_start), pos)
+        idx = idx // arity
+    # Replicated upper levels (tiny): local gather, same math as the
+    # single-device path (merkle._gather_proofs).
+    for level in replicated_levels[:-1]:
+        pos = idx % arity
+        group_start = (idx // arity) * arity
+        rows = group_start[:, None] + jnp.arange(arity, dtype=jnp.int32)
+        append_level(level[rows], pos)
+        idx = idx // arity
+    if not positions:
+        k = idx.shape[0]
+        return (
+            jnp.zeros((k, 0), jnp.int32),
+            jnp.zeros((k, 0, arity - 1, fr.NDIGITS), jnp.uint32),
+        )
+    return jnp.stack(positions, axis=1), jnp.stack(siblings, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Multi-process entry (jax.distributed) — run the same SPMD program over an
+# N-host slice.  The CPU-backend analog is tested by tests/test_multiprocess
+# with two spawned localhost processes.
+# ---------------------------------------------------------------------------
+
+
+def initialize_multiprocess(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    local_device_count: Optional[int] = None,
+) -> None:
+    """``jax.distributed.initialize`` wrapper: call once per process before
+    any other JAX use, then build meshes with :func:`make_mesh` over the
+    GLOBAL device list — every function in this module is expressed against
+    logical mesh axes, so the same program runs on 1 chip or an N-host
+    slice (collectives ride ICI within a slice, DCN across; the XLA
+    partitioner makes that choice from the device topology, not this code).
+
+    ``local_device_count`` forces the per-process CPU device count (test
+    meshes); it must be set before the backend initializes.
+    """
+    import os
+
+    import jax
+
+    if local_device_count is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count="
+            f"{local_device_count}"
+        ).strip()
+        # A TPU platform plugin (e.g. the tunneled backend) overrides
+        # JAX_PLATFORMS at import time; the config pin wins (same trick as
+        # tests/conftest.py).
+        jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

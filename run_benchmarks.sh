@@ -7,6 +7,7 @@ case "$MODE" in
   quick)    python bench.py ;;
   full)     python -m cuzk_tpu.bench.run --suite all ;;
   poseidon) python -m cuzk_tpu.bench.run --suite poseidon ;;
-  merkle)   python -m cuzk_tpu.bench.run --suite merkle --suite proofs ;;
+  merkle)   python -m cuzk_tpu.bench.run --suite merkle
+            python -m cuzk_tpu.bench.run --suite proofs ;;
   *) echo "usage: $0 [quick|full|poseidon|merkle]"; exit 1 ;;
 esac

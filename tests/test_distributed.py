@@ -62,6 +62,28 @@ def test_sharded_levels_concatenate_to_full_tree():
         np.testing.assert_array_equal(got, np.asarray(want))
 
 
+def test_sharded_proofs_match_single_device():
+    # Same mesh/arity/size combo as the concatenate test so the sharded
+    # build programs are shared; only the tiny sparse-extract program is
+    # new.  Proofs must be bit-identical to the single-device generator.
+    mesh = distributed.make_mesh(4)
+    arity, count = 2, 32
+    leaves = rand_leaves(count)
+    sharded, replicated = distributed.sharded_build_levels(leaves, arity, mesh)
+    idx = np.array([0, 3, 7, 12, 31, 31, 17], np.int32)
+    pos, sib = distributed.sharded_generate_proofs(
+        sharded, replicated, arity, idx, mesh
+    )
+    levels = merkle.build_tree_levels(leaves, arity)
+    want_pos, want_sib = merkle.generate_proofs(levels, arity, idx)
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(want_pos))
+    np.testing.assert_array_equal(np.asarray(sib), np.asarray(want_sib))
+    # And the proofs verify against the root.
+    root = replicated[-1][0]
+    ok = merkle.verify_proofs(pos, sib, levels[0][idx], root, arity)
+    assert bool(np.asarray(ok).all())
+
+
 def test_sharded_degenerate_fallback():
     # 4 leaves on 8 devices: m % d != 0 -> replicated fallback, same root.
     mesh = distributed.make_mesh(8)
