@@ -211,6 +211,53 @@ def bench_merkle_build(n_leaves: int, arity: int, iters: int = 3) -> Dict:
     return out
 
 
+def bench_merkle_compare(n_leaves: int, arity: int, iters: int = 3) -> Dict:
+    """Reference-path (jnp, the 'CPU' slot) vs accelerated (fused Pallas)
+    side-by-side build with an IN-BENCH consistency check — the analog of
+    ``benchmark_cuda_vs_cpu_merkle`` (merkle_tree_cuda.cu:648-856) and
+    ``benchmark_cuda_vs_cpu_poseidon`` (poseidon_cuda_benchmarks.cpp:119-135),
+    which cross-check the two trees inside the benchmark run and report a
+    speedup table."""
+    import jax.numpy as jnp
+
+    from cuzk_tpu import merkle
+    from cuzk_tpu.field import fr
+
+    leaves_h = _rand_digits(n_leaves, 11)
+    leaves = jnp.asarray(leaves_h)
+
+    def build_fast(lv):
+        return merkle.build_tree_levels(lv, arity)[-1]
+
+    padded = merkle.padded_leaf_count(n_leaves, arity)
+    pad_rows = np.broadcast_to(
+        np.array(merkle._empty_hash_digits(arity), np.uint32),
+        (padded - n_leaves, fr.NDIGITS),
+    )
+    leaves_p = jnp.asarray(np.concatenate([leaves_h, pad_rows], axis=0))
+
+    def build_reference(lv):
+        # Host-driven level loop on the jnp path: the 'CPU implementation'
+        # slot of the reference's comparison.
+        with merkle.engine_path("jnp"):
+            return merkle._build_levels(lv, arity)[-1]
+
+    sec_fast = time_fn(build_fast, leaves, iters=iters, warmup=1)
+    sec_ref = time_fn(build_reference, leaves_p, iters=1, warmup=1)
+    root_fast = np.asarray(build_fast(leaves))
+    root_ref = np.asarray(build_reference(leaves_p))
+    consistent = bool(np.array_equal(root_fast, root_ref))
+    return {
+        "suite": "merkle_compare",
+        "leaves": n_leaves,
+        "arity": arity,
+        "accelerated_ms": round(sec_fast * 1e3, 2),
+        "reference_path_ms": round(sec_ref * 1e3, 2),
+        "speedup": round(sec_ref / sec_fast, 2),
+        "trees_consistent": consistent,
+    }
+
+
 def bench_batch_verify(
     n_proofs: int,
     n_leaves: int,
@@ -240,6 +287,37 @@ def bench_batch_verify(
         return np.bool_(merkle.verify_all(p, s, lv, rt, arity, dedupe=dedupe))
 
     ok = bool(verify(pos, sib, proved, root))
+
+    # In-bench consistency gate, like the reference's CPU<->GPU cross-check
+    # inside benchmark_cuda_vs_cpu_merkle (merkle_tree_cuda.cu:648-856): on
+    # a subset, the accelerated per-proof verifier, the jnp reference path,
+    # and the dedup schedule must all agree.
+    k_sub = min(64, n_proofs)
+    pos_s, sib_s, proved_s = pos[:k_sub], sib[:k_sub], proved[:k_sub]
+    kernel_sub = np.asarray(
+        merkle.verify_proofs(pos_s, sib_s, proved_s, root, arity)
+    )
+    with merkle.engine_path("jnp"):
+        jnp_sub = np.asarray(
+            merkle._verify_batch(
+                arity,
+                jnp.asarray(pos_s, jnp.int32),
+                jnp.asarray(sib_s, jnp.uint32),
+                proved_s,
+                root,
+            )
+        )
+    dedup_sub = bool(
+        merkle.verify_all(pos_s, sib_s, proved_s, root, arity, dedupe=True)
+    )
+    consistent = (
+        bool(np.array_equal(kernel_sub, jnp_sub))
+        and dedup_sub == bool(kernel_sub.all())
+    )
+    if not consistent:
+        raise SystemExit(
+            "batch-verify paths disagree (kernel vs jnp vs dedup); aborting"
+        )
     sec = time_fn(verify, pos, sib, proved, root, iters=iters, warmup=1)
     ms = sec * 1e3
     out = {
@@ -247,6 +325,7 @@ def bench_batch_verify(
         "proofs": n_proofs,
         "arity": arity,
         "all_valid": ok,
+        "paths_consistent": consistent,
         "verify_ms": round(ms, 2),
         "proofs_per_s": round(n_proofs / sec, 1),
     }

@@ -30,6 +30,7 @@ Semantics are bit-exact vs ``cuzk_tpu.oracle`` (merkle_tree.cpp:44-100):
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
@@ -46,13 +47,35 @@ MIN_ARITY = oracle.MIN_ARITY
 MAX_ARITY = oracle.MAX_ARITY
 
 
+_PATH_OVERRIDE: List[str] = []
+
+
+@contextlib.contextmanager
+def engine_path(path: str):
+    """Force the hash engine for tree building/verification: ``"jnp"`` or
+    ``"pallas"`` (default: auto by backend).  Used by the benchmark's
+    CPU-analog-vs-accelerated comparison mode (the analog of
+    benchmark_cuda_vs_cpu_merkle, merkle_tree_cuda.cu:648-856).  Only
+    honored on the host-driven build/verify paths — the fused jitted
+    programs key executables on shapes alone, so callers forcing a path
+    must use the host-driven loops (bench does)."""
+    _PATH_OVERRIDE.append(path)
+    try:
+        yield
+    finally:
+        _PATH_OVERRIDE.pop()
+
+
 def _engine_hash_multiple(groups: jnp.ndarray) -> jnp.ndarray:
     """The hash engine for tree building/verification: the fused Pallas
     kernel on TPU, the jnp reference path elsewhere — bit-identical either
     way (differentially tested in tests/test_pallas.py)."""
     import jax
 
-    if jax.default_backend() in ("tpu", "axon"):
+    choice = _PATH_OVERRIDE[-1] if _PATH_OVERRIDE else (
+        "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
+    )
+    if choice == "pallas":
         from cuzk_tpu.ops import hash_multiple_pallas
 
         return hash_multiple_pallas(groups)
@@ -318,17 +341,61 @@ def verify_proof(positions, siblings, leaf, root, arity: int) -> bool:
 # proofs, so the host->device upload shrinks too.
 # ---------------------------------------------------------------------------
 
-def _unique_rows(mat: np.ndarray):
-    """(first-occurrence indices, inverse map) over byte rows of ``mat``."""
+# Fixed odd 64-bit column constants for _row_hash_u64 (deterministic; 64
+# columns cover any row width the proof shapes produce).
+_COLUMN_SALTS = (
+    np.random.default_rng(0xC0FFEE).integers(
+        0, 1 << 63, 64, dtype=np.uint64
+    )
+    | np.uint64(1)
+)
+
+
+def _row_hash_u64(mat: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit polynomial hash of the byte rows of ``mat``.
+
+    Used to KEY suffix rows instead of sorting 200-byte records: a host
+    hash collision would merge two distinct suffixes, which the device
+    merge-consistency checks then detect (the caller falls back to the
+    exact per-proof path) — so collisions cost performance only, never
+    correctness, and the schedule build drops from ~13 ms to ~2 ms at the
+    reference's 5K-proof config."""
     mat = np.ascontiguousarray(mat)
-    view = mat.view(np.dtype((np.void, mat.shape[1]))).ravel()
-    _, first, inv = np.unique(view, return_index=True, return_inverse=True)
+    k, w = mat.shape
+    if w % 8:
+        mat = np.concatenate([mat, np.zeros((k, 8 - w % 8), np.uint8)], axis=1)
+    u = mat.view("<u8")
+    # One-pass multiply-sum against fixed odd column constants (a LINEAR
+    # hash: two row differences can be crafted to cancel, but a crafted or
+    # accidental collision only merges two suffixes the device checks then
+    # reject — the caller falls back to the exact path, so this is a
+    # performance knob, never a soundness one).  The per-column python loop
+    # this replaces cost 5 ms at the 5K-proof config; this is ~1 ms.
+    h = (u * _COLUMN_SALTS[: u.shape[1]][None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    # Final avalanche so low bits depend on every column.
+    h ^= h >> np.uint64(33)
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _unique_keys(keys: np.ndarray):
+    """(first-occurrence indices, inverse map) over a ``[k] uint64`` key
+    vector."""
+    _, first, inv = np.unique(keys, return_index=True, return_inverse=True)
     return first.astype(np.int32), inv.reshape(-1).astype(np.int32)
 
 
 def _job_bucket(u: int) -> int:
-    """Job counts pad to powers of two so executables are reused across
-    proof batches (same discipline as the hash batch buckets)."""
+    """Job counts pad so executables are reused across proof batches (same
+    discipline as the hash batch buckets): powers of two up to 1024 —
+    matching the kernel's lane-tile granularity — then multiples of 1024
+    (the kernel skips inactive tiles at runtime, so tighter buckets cut
+    real hash work; power-of-two padding above 1K wasted up to 60%)."""
+    if u >= 1024:
+        return ((u + 1023) // 1024) * 1024
     return max(8, 1 << (u - 1).bit_length())
 
 
@@ -354,22 +421,23 @@ def _dedup_schedule(positions: np.ndarray, siblings: np.ndarray):
     k, h = positions.shape
     sib_flat = np.ascontiguousarray(siblings).reshape(k, h, -1)
 
+    # Per-level sibling-row hashes in one pass ([k, h] uint64).
+    sib_keys = _row_hash_u64(
+        sib_flat.reshape(k * h, -1).view(np.uint8)
+    ).reshape(k, h)
+
     # Suffix keys, root-down: key_L identifies (positions[:, L:], siblings
     # [:, L:]); the level-h suffix is empty, i.e. shared by every proof.
-    key = np.zeros((k, 8), np.uint8)
+    # Chained 64-bit hashing; any collision is caught by the device merge
+    # checks (fallback to the exact path), see _row_hash_u64.
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    key = np.zeros(k, np.uint64)
     reps: List[np.ndarray] = [None] * h
     keys: List[np.ndarray] = [None] * h
     for L in range(h - 1, -1, -1):
-        row = np.concatenate(
-            [
-                key,
-                positions[:, L : L + 1].astype(np.int32).view(np.uint8),
-                sib_flat[:, L].view(np.uint8),
-            ],
-            axis=1,
-        )
-        reps[L], keys[L] = _unique_rows(row)
-        key = keys[L].astype(np.int64)[:, None].view(np.uint8)
+        key = (key * mult + positions[:, L].astype(np.uint64)) * mult + sib_keys[:, L]
+        key ^= key >> np.uint64(29)
+        reps[L], keys[L] = _unique_keys(key)
 
     levels = []
     for L in range(h):
@@ -398,24 +466,43 @@ def _dedup_schedule(positions: np.ndarray, siblings: np.ndarray):
     return levels, leaf_src
 
 
-def _dedup_verify_levels(arity, leaves_p, leaf_src, root, ent0, poss, sibss,
-                         gidxs, checks):
+def _dedup_verify_levels(arity, sizes, check_sizes, kb, leaves_p, root,
+                         idx_all, sibs_all):
     """Device program: one hash per unique suffix node, level by level, with
-    the merge-consistency checks accumulated into one scalar.  Returns
-    (checks_ok, roots_ok)."""
+    the merge-consistency checks accumulated into one scalar.
+
+    The whole schedule arrives PACKED — ``idx_all`` is one int32 vector
+    ``[leaf_src(kb) | per level: ent_idx(n) pos(n) | per level: checks]``
+    sliced here by the static ``sizes``/``check_sizes``, and ``sibs_all``
+    stacks every level's sibling rows — so a verify is 2 uploads + 1 fused
+    dispatch + 1 packed readback instead of ~34 uploads and 2 readbacks
+    (measured 120 ms -> schedule-bound on the tunneled TPU).  Returns
+    ``[checks_ok, roots_ok] bool``."""
+    leaf_src = idx_all[:kb]
     ok = jnp.all(leaves_p == leaves_p[leaf_src])
     out = None
-    for L in range(len(poss)):
-        ent = leaves_p[ent0] if L == 0 else out[gidxs[L]]
-        if L > 0:
-            ok = jnp.logical_and(ok, jnp.all(out == out[checks[L]]))
-        group = _insert_at_position(ent, poss[L], sibss[L], arity)
-        out = _engine_hash_multiple(group)
+    o = kb
+    so = 0
+    for L, n in enumerate(sizes):
+        ent_idx = idx_all[o : o + n]
+        pos = idx_all[o + n : o + 2 * n]
+        o += 2 * n
+        sibs = sibs_all[so : so + n]
+        so += n
+        ent = leaves_p[ent_idx] if L == 0 else out[ent_idx]
+        group = _insert_at_position(ent, pos, sibs, arity)
+        new_out = _engine_hash_multiple(group)
+        if L + 1 < len(sizes):
+            c = check_sizes[L + 1]
+            checks = idx_all[o : o + c]
+            o += c
+            ok = jnp.logical_and(ok, jnp.all(new_out == new_out[checks]))
+        out = new_out
     roots_ok = jnp.all(out == root[None, :])
-    return ok, roots_ok
+    return jnp.stack([ok, roots_ok])
 
 
-_dedup_verify_fused = jax.jit(_dedup_verify_levels, static_argnums=(0,))
+_dedup_verify_fused = jax.jit(_dedup_verify_levels, static_argnums=(0, 1, 2, 3))
 
 
 def _verify_all_deduped(positions, siblings, leaves, root, arity):
@@ -425,12 +512,20 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
     schedule, leaf_src = _dedup_schedule(positions, siblings)
     kb = _job_bucket(k)
     leaves_p = jnp.asarray(_pad_rows(np.asarray(leaves, np.uint32), kb))
-    leaf_src = jnp.asarray(_pad_rows(leaf_src.reshape(-1, 1), kb).ravel())
-    ent0 = jnp.asarray(schedule[0][0])
-    poss = tuple(jnp.asarray(lvl[1]) for lvl in schedule)
-    sibss = tuple(jnp.asarray(lvl[2]) for lvl in schedule)
-    gidxs = tuple(jnp.asarray(lvl[0]) for lvl in schedule)
-    checks = tuple(jnp.asarray(lvl[3]) for lvl in schedule)
+    sizes = tuple(lvl[1].shape[0] for lvl in schedule)
+    check_sizes = tuple(lvl[3].shape[0] for lvl in schedule)
+    # Pack all int32 index vectors into one upload (layout documented on
+    # _dedup_verify_levels) and all sibling rows into another.
+    parts = [_pad_rows(leaf_src.reshape(-1, 1), kb).ravel().astype(np.int32)]
+    for L, (ent_idx, pos, _sibs, check_src) in enumerate(schedule):
+        parts.append(ent_idx.astype(np.int32))
+        parts.append(pos.astype(np.int32))
+        if L + 1 < len(schedule):
+            parts.append(schedule[L + 1][3].astype(np.int32))
+    idx_all = jnp.asarray(np.concatenate(parts))
+    sibs_all = jnp.asarray(
+        np.concatenate([lvl[2] for lvl in schedule], axis=0)
+    )
     # One fused dispatch on TPU; host-driven on CPU backends, where the
     # fused program's XLA:CPU compile is disproportionate (docs/PERF.md)
     # and the small per-level executables are shared.
@@ -439,12 +534,13 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
         if jax.default_backend() in ("tpu", "axon")
         else _dedup_verify_levels
     )
-    ok, roots_ok = run(
-        arity, leaves_p, leaf_src, jnp.asarray(root, jnp.uint32), ent0,
-        poss, sibss, gidxs, checks,
+    flags = np.asarray(
+        run(
+            arity, sizes, check_sizes, kb, leaves_p,
+            jnp.asarray(root, jnp.uint32), idx_all, sibs_all,
+        )
     )
-    ok, roots_ok = bool(ok), bool(roots_ok)
-    return roots_ok if ok else None
+    return bool(flags[1]) if bool(flags[0]) else None
 
 
 def verify_all(
