@@ -546,13 +546,78 @@ POSEIDON_CONFIGS = [
 ]
 
 
+def _print_summary(results: List[Dict]) -> None:
+    """Human summary after the JSON lines — the analog of the reference
+    binary's speedup tables + best-performer summary (benchmark.cpp:81-123).
+    """
+    import jax
+
+    if not results:
+        return
+    rows = []
+    best_pairs = None
+    for r in results:
+        s = r.get("suite")
+        if s == "poseidon":
+            cfg = f"{r['mode']} batch={r['batch']}"
+            if r.get("pipelined"):
+                cfg += " (coalesced)"
+            rows.append((s, cfg, f"{r['ns_per_hash']} ns/hash",
+                         f"{r['hashes_per_s']:,.0f} hash/s",
+                         r.get("vs_baseline")))
+            if r["mode"] == "pairs" and (
+                best_pairs is None or r["hashes_per_s"] > best_pairs[1]
+            ):
+                best_pairs = (cfg, r["hashes_per_s"])
+        elif s in ("merkle_build", "sharded_build", "weak_scaling"):
+            cfg = f"{r['leaves']} leaves a={r['arity']}"
+            if "devices" in r:
+                cfg += f" d={r['devices']}"
+            extra = (
+                f"eff={r['efficiency']}" if "efficiency" in r
+                else f"{r['leaves_per_s']:,.0f} leaves/s"
+            )
+            rows.append((s, cfg, f"{r['build_ms']} ms", extra,
+                         r.get("vs_baseline")))
+        elif s == "batch_verify":
+            cfg = f"{r['proofs']} proofs a={r['arity']}"
+            rows.append((s, cfg, f"{r['verify_ms']} ms",
+                         f"{r['proofs_per_s']:,.0f} proofs/s",
+                         r.get("vs_baseline")))
+        elif s == "merkle_compare":
+            cfg = f"{r['leaves']} leaves a={r['arity']}"
+            rows.append((s, cfg, f"{r['accelerated_ms']} ms",
+                         f"{r['speedup']}x vs jnp path",
+                         "consistent" if r["trees_consistent"] else "MISMATCH"))
+    if not rows:
+        return
+    dev = jax.devices()[0]
+    print(f"\n== Summary ({jax.default_backend()}, {dev.device_kind}) ==")
+    widths = [max(len(str(row[i])) for row in rows + [
+        ("suite", "config", "time", "throughput", "vs baseline")
+    ]) for i in range(5)]
+    hdr = ("suite", "config", "time", "throughput", "vs baseline")
+    print("  ".join(h.ljust(w) for h, w in zip(hdr, widths)))
+    for row in rows:
+        vsb = row[4]
+        vs = (f"{vsb}x" if isinstance(vsb, (int, float)) else (vsb or "-"))
+        cells = [str(row[0]), str(row[1]), str(row[2]), str(row[3]), vs]
+        print("  ".join(c.ljust(w) for c, w in zip(cells, widths)))
+    if best_pairs is not None:
+        print(
+            f"Best pair-hash throughput: {best_pairs[1]:,.0f} hash/s"
+            f" ({best_pairs[0]})"
+        )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "--suite",
         default="all",
         choices=[
-            "all", "poseidon", "merkle", "proofs", "scaling", "sweep", "verify",
+            "all", "poseidon", "merkle", "proofs", "scaling", "sweep",
+            "verify", "compare",
         ],
     )
     parser.add_argument(
@@ -595,7 +660,7 @@ def main() -> None:
     # and proofs suites run entirely on hash_multiple, which the widened
     # gate now checks.
     if not args.skip_verify and args.suite in (
-        "all", "poseidon", "merkle", "proofs", "sweep"
+        "all", "poseidon", "merkle", "proofs", "sweep", "compare"
     ):
         ok = verify_paths_match()
         print(json.dumps({"suite": "verify_paths_match", "ok": ok}))
@@ -629,6 +694,13 @@ def main() -> None:
         results.append(res)
         print(json.dumps(res))
 
+    if args.suite == "compare":
+        res = bench_merkle_compare(args.leaves, args.arity)
+        results.append(res)
+        print(json.dumps(res))
+        if not res["trees_consistent"]:
+            raise SystemExit("compare: reference and accelerated trees differ")
+
     if args.suite == "verify":
         res = run_hardware_verify(args.verify_out)
         if not res["all_ok"]:
@@ -648,6 +720,8 @@ def main() -> None:
             res = bench_sharded_build(args.leaves, args.arity, args.devices)
             results.append(res)
             print(json.dumps(res))
+
+    _print_summary(results)
 
 
 if __name__ == "__main__":

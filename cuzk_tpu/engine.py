@@ -16,6 +16,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 
 from cuzk_tpu import poseidon
+from cuzk_tpu.utils.errors import ComputationError
 from cuzk_tpu.utils.stats import HashingStats, timed
 
 
@@ -124,6 +125,10 @@ class DeferredHashes:
     def get(self) -> jnp.ndarray:
         if self._value is None:
             self._engine.flush()
+        if self._value is None:  # flush restored the queue on a failure
+            raise ComputationError(
+                "deferred hashes were not materialized by flush()"
+            )
         return self._value
 
 
@@ -181,23 +186,36 @@ class CoalescingPoseidonEngine(PoseidonEngine):
         return self._enqueue(("multiple", int(inputs.shape[1])), (inputs,))
 
     def flush(self) -> None:
-        """One fused device dispatch per (kind, width) with queued work."""
+        """One fused device dispatch per (kind, width) with queued work.
+
+        A failed dispatch restores its queue before the exception
+        propagates, so queued :class:`DeferredHashes` are never orphaned:
+        a later ``get()`` retries the dispatch instead of silently
+        returning ``None`` (round-2 advisor finding)."""
         import numpy as np
 
-        queues, self._queues, self._pending = self._queues, {}, 0
-        for key, calls in queues.items():
-            kind = key if isinstance(key, str) else key[0]
-            cols = list(zip(*calls))
-            deferreds = cols[-1]
-            stacked = [np.concatenate(c, axis=0) for c in cols[:-1]]
-            if kind == "single":
-                out = self.inner.batch_hash_single(jnp.asarray(stacked[0]))
-            elif kind == "pairs":
-                out = self.inner.batch_hash_pairs(
-                    jnp.asarray(stacked[0]), jnp.asarray(stacked[1])
-                )
-            else:
-                out = self.inner.batch_hash_multiple(jnp.asarray(stacked[0]))
+        for key in list(self._queues):
+            calls = self._queues.pop(key)
+            n_elems = sum(c[0].shape[0] for c in calls)
+            try:
+                kind = key if isinstance(key, str) else key[0]
+                cols = list(zip(*calls))
+                deferreds = cols[-1]
+                stacked = [np.concatenate(c, axis=0) for c in cols[:-1]]
+                if kind == "single":
+                    out = self.inner.batch_hash_single(jnp.asarray(stacked[0]))
+                elif kind == "pairs":
+                    out = self.inner.batch_hash_pairs(
+                        jnp.asarray(stacked[0]), jnp.asarray(stacked[1])
+                    )
+                else:
+                    out = self.inner.batch_hash_multiple(
+                        jnp.asarray(stacked[0])
+                    )
+            except BaseException:
+                self._queues[key] = calls  # keep the work; get() can retry
+                raise
+            self._pending -= n_elems
             off = 0
             for arrs0, d in zip(cols[0], deferreds):
                 n = arrs0.shape[0]

@@ -342,7 +342,11 @@ def verify_proof(positions, siblings, leaf, root, arity: int) -> bool:
 # ---------------------------------------------------------------------------
 
 # Fixed odd 64-bit column constants for _row_hash_u64 (deterministic; 64
-# columns cover any row width the proof shapes produce).
+# columns cover any row width the proof shapes produce).  The hash is ONLY
+# a bucketing accelerator: every hash-group is byte-confirmed against its
+# representative before it is trusted (see _dedup_schedule), so a crafted
+# or accidental collision can never merge distinct rows — it is detected
+# on the host and the caller falls back to the exact per-proof path.
 _COLUMN_SALTS = (
     np.random.default_rng(0xC0FFEE).integers(
         0, 1 << 63, 64, dtype=np.uint64
@@ -354,23 +358,21 @@ _COLUMN_SALTS = (
 def _row_hash_u64(mat: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit polynomial hash of the byte rows of ``mat``.
 
-    Used to KEY suffix rows instead of sorting 200-byte records: a host
-    hash collision would merge two distinct suffixes, which the device
-    merge-consistency checks then detect (the caller falls back to the
-    exact per-proof path) — so collisions cost performance only, never
-    correctness, and the schedule build drops from ~13 ms to ~2 ms at the
-    reference's 5K-proof config."""
+    Used to BUCKET sibling rows instead of sorting 200-byte records; the
+    buckets are then byte-confirmed exactly in _dedup_schedule (any
+    mismatch aborts dedup entirely), so collisions cost performance only,
+    never correctness, and the schedule build drops from ~13 ms to ~2 ms
+    at the reference's 5K-proof config."""
     mat = np.ascontiguousarray(mat)
     k, w = mat.shape
     if w % 8:
         mat = np.concatenate([mat, np.zeros((k, 8 - w % 8), np.uint8)], axis=1)
     u = mat.view("<u8")
     # One-pass multiply-sum against fixed odd column constants (a LINEAR
-    # hash: two row differences can be crafted to cancel, but a crafted or
-    # accidental collision only merges two suffixes the device checks then
-    # reject — the caller falls back to the exact path, so this is a
-    # performance knob, never a soundness one).  The per-column python loop
-    # this replaces cost 5 ms at the 5K-proof config; this is ~1 ms.
+    # hash: two row differences can be crafted to cancel — which is why
+    # _dedup_schedule never trusts hash equality alone and byte-confirms
+    # every bucket before using it).  The per-column python loop this
+    # replaces cost 5 ms at the 5K-proof config; this is ~1 ms.
     h = (u * _COLUMN_SALTS[: u.shape[1]][None, :]).sum(
         axis=1, dtype=np.uint64
     )
@@ -417,6 +419,16 @@ def _dedup_schedule(positions: np.ndarray, siblings: np.ndarray):
     array at level 0, from the previous level's outputs above) and
     ``check_src[j]`` says which previous-level output job ``j`` must equal
     (its parent's chosen entering value — the merge consistency check).
+
+    Grouping is EXACT: two proofs land in one level-L group only when
+    their suffixes (positions[:, L:], siblings[:, L:]) are byte-identical.
+    The row hash is used purely to bucket sibling rows; every bucket is
+    then confirmed by exact comparison against its representative, and
+    suffix identity is propagated root-down with exact integer packings.
+    If confirmation ever fails (a host-hash collision — adversarial or
+    astronomically unlucky), returns ``None`` and the caller must decide
+    via the exact per-proof path: dedup can never silently merge proofs
+    whose data differs.
     """
     k, h = positions.shape
     sib_flat = np.ascontiguousarray(siblings).reshape(k, h, -1)
@@ -426,18 +438,31 @@ def _dedup_schedule(positions: np.ndarray, siblings: np.ndarray):
         sib_flat.reshape(k * h, -1).view(np.uint8)
     ).reshape(k, h)
 
-    # Suffix keys, root-down: key_L identifies (positions[:, L:], siblings
-    # [:, L:]); the level-h suffix is empty, i.e. shared by every proof.
-    # Chained 64-bit hashing; any collision is caught by the device merge
-    # checks (fallback to the exact path), see _row_hash_u64.
-    mult = np.uint64(0x9E3779B97F4A7C15)
-    key = np.zeros(k, np.uint64)
+    # Suffix group ids, root-down: gid_L identifies (positions[:, L:],
+    # siblings[:, L:]) exactly; the level-h suffix is empty, i.e. shared
+    # by every proof.
+    gid = np.zeros(k, np.int64)
     reps: List[np.ndarray] = [None] * h
     keys: List[np.ndarray] = [None] * h
     for L in range(h - 1, -1, -1):
-        key = (key * mult + positions[:, L].astype(np.uint64)) * mult + sib_keys[:, L]
-        key ^= key >> np.uint64(29)
-        reps[L], keys[L] = _unique_keys(key)
+        # Row-equality ids for level L's sibling rows: bucket by hash,
+        # then CONFIRM byte equality against each bucket's representative.
+        # After confirmation, rid equality <=> row equality exactly (equal
+        # rows always hash equal, so they share a bucket; unequal rows in
+        # one bucket are caught here).
+        rfirst, rid = _unique_keys(sib_keys[:, L])
+        if not np.array_equal(sib_flat[:, L], sib_flat[rfirst[rid], L]):
+            return None  # host-hash collision: only the exact path decides
+        # suffix_L = (suffix_{L+1}, row_L, pos_L) — exact u64 packings
+        # (gid/rid are inverse indices < k < 2^31; pos < arity <= 8).
+        _, c1 = _unique_keys(
+            (gid.astype(np.uint64) << np.uint64(32)) | rid.astype(np.uint64)
+        )
+        reps[L], keys[L] = _unique_keys(
+            (c1.astype(np.uint64) << np.uint64(8))
+            | positions[:, L].astype(np.uint64)
+        )
+        gid = keys[L].astype(np.int64)
 
     levels = []
     for L in range(h):
@@ -472,8 +497,10 @@ def _dedup_verify_levels(arity, sizes, check_sizes, kb, leaves_p, root,
     the merge-consistency checks accumulated into one scalar.
 
     The whole schedule arrives PACKED — ``idx_all`` is one int32 vector
-    ``[leaf_src(kb) | per level: ent_idx(n) pos(n) | per level: checks]``
-    sliced here by the static ``sizes``/``check_sizes``, and ``sibs_all``
+    ``[leaf_src(kb) | per level L: ent_idx(n_L) pos(n_L) checks(c_{L+1})]``
+    (each level's checks interleaved right after its ent_idx/pos; the last
+    level has no checks) sliced here by the static ``sizes``/
+    ``check_sizes``, and ``sibs_all``
     stacks every level's sibling rows — so a verify is 2 uploads + 1 fused
     dispatch + 1 packed readback instead of ~34 uploads and 2 readbacks
     (measured 120 ms -> schedule-bound on the tunneled TPU).  Returns
@@ -509,7 +536,10 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
     """Deduped all-or-nothing verify.  Returns True/False, or None when a
     merge check failed and the exact per-proof path must decide."""
     k = positions.shape[0]
-    schedule, leaf_src = _dedup_schedule(positions, siblings)
+    sched = _dedup_schedule(positions, siblings)
+    if sched is None:  # host-hash bucket failed byte confirmation
+        return None
+    schedule, leaf_src = sched
     kb = _job_bucket(k)
     leaves_p = jnp.asarray(_pad_rows(np.asarray(leaves, np.uint32), kb))
     sizes = tuple(lvl[1].shape[0] for lvl in schedule)

@@ -85,14 +85,28 @@ def shard_batch(x, mesh: Mesh, axis_name: str = DATA_AXIS):
     spec = P(axis_name, *([None] * (np.ndim(x) - 1)))
     if not isinstance(x, jax.Array):
         x = np.ascontiguousarray(np.asarray(x, np.uint32))
+    elif x.dtype != jnp.uint32:
+        # Normalize device arrays too: the shard_map'd hash kernels assume
+        # uint32 digits, and device_put does not convert dtypes.
+        x = x.astype(jnp.uint32)
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def _mesh_key(mesh: Mesh):
+    """Value-based cache identity for a mesh: the device ids plus axis
+    names.  Keying on ``id(mesh)`` (round 2) was unsound — a new Mesh
+    allocated at a garbage-collected Mesh's address would hit the stale
+    executable for the WRONG mesh — and grew one entry per Mesh object;
+    this key is stable across equal meshes and collision-free across
+    different ones."""
+    return (tuple(d.id for d in mesh.devices.flat), tuple(mesh.axis_names))
 
 
 def _shmap_hash(mesh: Mesh, axis_name: str, kind: str):
     """shard_map'd batched hashing: the body compiles once at the per-shard
     shape (no GSPMD partitioner pass — much cheaper to compile and exactly
     the data-parallel program we want: zero collectives)."""
-    key = ("hash", id(mesh), axis_name, kind)
+    key = ("hash", _mesh_key(mesh), axis_name, kind)
     fn = _LEVEL_CACHE.get(key)
     if fn is None:
         # Per-shard bodies dispatch like the single-device engine: the fused
@@ -143,7 +157,7 @@ def _local_level_fn(mesh: Mesh, axis_name: str, arity: int):
     """shard_map'd one-level reduction: [m,16] sharded -> [m/arity,16]
     sharded.  Group boundaries stay shard-local (caller guarantees the
     per-shard size is divisible by arity)."""
-    key = ("level", id(mesh), axis_name, arity)
+    key = ("level", _mesh_key(mesh), axis_name, arity)
     fn = _LEVEL_CACHE.get(key)
     if fn is None:
 
@@ -170,7 +184,7 @@ def _local_level_fn(mesh: Mesh, axis_name: str, arity: int):
 
 def _gather_fn(mesh: Mesh, axis_name: str):
     """shard_map'd all-gather: [m,16] sharded -> [m,16] replicated."""
-    key = ("gather", id(mesh), axis_name)
+    key = ("gather", _mesh_key(mesh), axis_name)
     fn = _LEVEL_CACHE.get(key)
     if fn is None:
         fn = jax.jit(
@@ -262,7 +276,7 @@ def _group_extract_fn(mesh: Mesh, axis_name: str, arity: int):
     elsewhere; one ``psum`` of the k-sized result replicates it.  Per-level
     communication is O(k * arity) field elements, independent of level size.
     """
-    key = ("pgather", id(mesh), axis_name, arity)
+    key = ("pgather", _mesh_key(mesh), axis_name, arity)
     fn = _LEVEL_CACHE.get(key)
     if fn is None:
 

@@ -91,3 +91,42 @@ def test_sharded_degenerate_fallback():
     root = distributed.sharded_merkle_root(leaves, 2, mesh)
     want = merkle.merkle_root(leaves, 2)
     np.testing.assert_array_equal(np.asarray(root), np.asarray(want))
+
+
+def test_level_cache_keys_on_mesh_identity_not_id():
+    """Round-2 regression: _LEVEL_CACHE keyed on id(mesh), so a new Mesh at
+    a GC'd Mesh's address could hit a stale executable for the wrong mesh.
+    Keys must be value-based: equal meshes share an entry, different
+    meshes never collide."""
+    mesh4a = distributed.make_mesh(4)
+    fn4 = distributed._shmap_hash(mesh4a, distributed.DATA_AXIS, "single")
+    mesh4b = distributed.make_mesh(4)  # equal identity, different object
+    assert (
+        distributed._shmap_hash(mesh4b, distributed.DATA_AXIS, "single")
+        is fn4
+    )
+    mesh8 = distributed.make_mesh(8)
+    assert (
+        distributed._shmap_hash(mesh8, distributed.DATA_AXIS, "single")
+        is not fn4
+    )
+    assert distributed._mesh_key(mesh4a) == distributed._mesh_key(mesh4b)
+    assert distributed._mesh_key(mesh4a) != distributed._mesh_key(mesh8)
+
+
+def test_shard_batch_casts_device_arrays_to_uint32():
+    """shard_batch must normalize dtype for jax.Array inputs too (advisor
+    finding, round 2): an int32/uint64 device array fed to the public
+    sharded hash entry points has to reach the kernels as uint32."""
+    import jax.numpy as jnp
+
+    mesh = distributed.make_mesh(4)
+    vals = [rng.randrange(oracle.P) for _ in range(8)]
+    host = np.asarray(fr.ints_to_array(vals))
+    dev_i32 = jnp.asarray(host.astype(np.int64)).astype(jnp.int32)
+    out = distributed.shard_batch(dev_i32, mesh)
+    assert out.dtype == jnp.uint32
+    np.testing.assert_array_equal(np.asarray(out), host)
+    got = distributed.sharded_hash_single(dev_i32, mesh)
+    want = poseidon.hash_single(jnp.asarray(host))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

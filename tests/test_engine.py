@@ -45,3 +45,136 @@ def test_batch_field_arithmetic():
         oracle.power5(3), oracle.power5(oracle.P - 1)
     ]
     assert bf.stats.total_time_s > 0
+
+
+# ---------------------------------------------------------------------------
+# CoalescingPoseidonEngine: the default bench path for small batches must be
+# covered — per-call slicing, mixed (kind, width) queues, flush threshold,
+# get() semantics, and the failed-dispatch recovery path.
+# ---------------------------------------------------------------------------
+
+_rng = np.random.default_rng(1234)
+
+
+def _digits(n, w=None):
+    shape = (n, 16) if w is None else (n, w, 16)
+    return _rng.integers(0, 1 << 16, shape, np.uint32)
+
+
+def test_coalescing_interleaved_mixed_calls_bit_exact():
+    inner = engine.JnpPoseidonEngine()
+    ce = engine.CoalescingPoseidonEngine(inner=engine.JnpPoseidonEngine())
+    calls = []  # (deferred, direct result)
+    for n in (1, 3, 7):
+        x = _digits(n)
+        calls.append((ce.async_hash_single(x), inner.batch_hash_single(x)))
+        l, r = _digits(n), _digits(n)
+        calls.append((ce.async_hash_pairs(l, r), inner.batch_hash_pairs(l, r)))
+        for w in (2, 5, 9):
+            g = _digits(n, w)
+            calls.append(
+                (ce.async_hash_multiple(g), inner.batch_hash_multiple(g))
+            )
+    assert len(ce._queues) == 5  # single, pairs, multiple x {2,5,9}
+    for d, want in calls:
+        np.testing.assert_array_equal(np.asarray(d.get()), np.asarray(want))
+    assert ce._pending == 0 and not ce._queues
+
+
+def test_coalescing_sync_surface_matches_inner():
+    inner = engine.JnpPoseidonEngine()
+    ce = engine.CoalescingPoseidonEngine(inner=engine.JnpPoseidonEngine())
+    x = _digits(6)
+    np.testing.assert_array_equal(
+        np.asarray(ce.batch_hash_single(x)),
+        np.asarray(inner.batch_hash_single(x)),
+    )
+    l, r = _digits(4), _digits(4)
+    np.testing.assert_array_equal(
+        np.asarray(ce.batch_hash_pairs(l, r)),
+        np.asarray(inner.batch_hash_pairs(l, r)),
+    )
+    g = _digits(5, 3)
+    np.testing.assert_array_equal(
+        np.asarray(ce.batch_hash_multiple(g)),
+        np.asarray(inner.batch_hash_multiple(g)),
+    )
+    st = _rng.integers(0, 1 << 16, (4, 3, 16), np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(ce.batch_permutation(st)),
+        np.asarray(inner.batch_permutation(st)),
+    )
+
+
+def test_coalescing_get_before_and_after_flush():
+    ce = engine.CoalescingPoseidonEngine(inner=engine.JnpPoseidonEngine())
+    x = _digits(4)
+    d1 = ce.async_hash_single(x)
+    v1 = np.asarray(d1.get())  # get() forces the flush
+    d2 = ce.async_hash_single(x)
+    ce.flush()  # explicit flush first
+    v2 = np.asarray(d2.get())
+    np.testing.assert_array_equal(v1, v2)
+    # repeated get() returns the already-materialized value
+    np.testing.assert_array_equal(np.asarray(d1.get()), v1)
+
+
+def test_coalescing_flush_threshold_triggers():
+    ce = engine.CoalescingPoseidonEngine(
+        inner=engine.JnpPoseidonEngine(), flush_elems=8
+    )
+    d1 = ce.async_hash_single(_digits(5))
+    assert d1._value is None and ce._pending == 5
+    d2 = ce.async_hash_single(_digits(5))  # 10 >= 8: auto-flush
+    assert d1._value is not None and d2._value is not None
+    assert ce._pending == 0 and not ce._queues
+
+
+class _FlakyEngine(engine.JnpPoseidonEngine):
+    """Raises on the first batch_hash_single dispatch, then recovers."""
+
+    def __init__(self):
+        super().__init__()
+        self.fail_next = True
+
+    def batch_hash_single(self, x):
+        if self.fail_next:
+            self.fail_next = False
+            raise RuntimeError("injected dispatch failure")
+        return super().batch_hash_single(x)
+
+
+def test_coalescing_flush_failure_restores_queue():
+    """Round-2 finding: a failed dispatch used to orphan every queued
+    DeferredHashes (later get() returned None).  The failing queue must be
+    restored so get() retries the dispatch."""
+    flaky = _FlakyEngine()
+    ce = engine.CoalescingPoseidonEngine(inner=flaky)
+    x = _digits(3)
+    d = ce.async_hash_single(x)
+    with pytest.raises(RuntimeError, match="injected"):
+        ce.flush()
+    assert ce._queues  # the work is still queued
+    got = np.asarray(d.get())  # retry succeeds
+    want = np.asarray(engine.JnpPoseidonEngine().batch_hash_single(x))
+    np.testing.assert_array_equal(got, want)
+    assert not ce._queues
+
+
+def test_coalescing_stats_and_empty_flush():
+    ce = engine.CoalescingPoseidonEngine(inner=engine.JnpPoseidonEngine())
+    ce.flush()  # empty: no-op
+    assert ce.stats.batch_count == 0
+    ce.batch_hash_single(_digits(2))
+    ce.batch_hash_pairs(_digits(2), _digits(2))
+    assert ce.stats.total_hashes == 4
+    assert ce.stats.batch_count == 2
+
+
+def test_deferred_get_raises_computation_error_if_unmaterialized():
+    from cuzk_tpu.utils.errors import ComputationError
+
+    ce = engine.CoalescingPoseidonEngine(inner=engine.JnpPoseidonEngine())
+    d = engine.DeferredHashes(ce)  # never enqueued: flush cannot fill it
+    with pytest.raises(ComputationError):
+        d.get()

@@ -296,6 +296,68 @@ def test_dedup_verify_rejects_tampered(arity):
     assert not merkle.verify_all(bad_pos, sib, proved, root, arity, dedupe=True)
 
 
+def _hash_colliding_delta():
+    """u64 word deltas (d0, d1) with salt0*d0 + salt1*d1 == 0 mod 2^64 and
+    (d0, d1) != 0 — added to any sibling row's first two u64 words they
+    change the bytes but preserve merkle._row_hash_u64 (its core is linear
+    in the u64 words; the final avalanche is a bijection)."""
+    s0, s1 = (int(merkle._COLUMN_SALTS[0]), int(merkle._COLUMN_SALTS[1]))
+    d0 = 1
+    d1 = (-s0 * d0 * pow(s1, -1, 1 << 64)) % (1 << 64)
+    return d0, d1
+
+
+def _apply_delta_row(row_u32: np.ndarray, d0: int, d1: int) -> np.ndarray:
+    """Return a copy of a uint32 row with (d0, d1) added to its first two
+    little-endian u64 words (mod 2^64)."""
+    out = np.ascontiguousarray(row_u32.copy())
+    w = out.view("<u8")
+    w[0] = np.uint64((int(w[0]) + d0) % (1 << 64))
+    w[1] = np.uint64((int(w[1]) + d1) % (1 << 64))
+    return out
+
+
+def test_dedup_schedule_rejects_crafted_hash_collision():
+    """The row hash is linear, so collisions are craftable — the schedule
+    must byte-confirm buckets and abort (return None) instead of merging
+    distinct sibling rows (advisor finding, round 2)."""
+    d0, d1 = _hash_colliding_delta()
+    row_a = np.arange(16, dtype=np.uint32) & 0xFFFF
+    row_b = _apply_delta_row(row_a, d0, d1)
+    assert not np.array_equal(row_a, row_b)
+    ha = merkle._row_hash_u64(row_a.reshape(1, -1).view(np.uint8))
+    hb = merkle._row_hash_u64(row_b.reshape(1, -1).view(np.uint8))
+    assert ha[0] == hb[0]  # the crafted collision is real
+    positions = np.zeros((2, 1), np.int32)
+    siblings = np.stack([row_a, row_b]).reshape(2, 1, 1, 16)
+    assert merkle._dedup_schedule(positions, siblings) is None
+
+
+def test_dedup_verify_sound_under_crafted_collision():
+    """End-to-end soundness: an invalid proof whose top-level sibling row
+    hash-collides with a valid proof's must NOT be accepted by the deduped
+    path (it falls back to exact per-proof verification)."""
+    arity = 2
+    xs = [rng.randrange(oracle.P) for _ in range(16)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    idxs = [0, 0, 5, 9]
+    pos, sib = tree.generate_batch_proofs(idxs)
+    pos, sib = np.asarray(pos), np.asarray(sib).copy()
+    proved = np.asarray(tree.levels[0][np.array(idxs)])
+    root = np.asarray(tree.get_root_hash())
+    assert merkle.verify_all(pos, sib, proved, root, arity, dedupe=True)
+    # Tamper proof 1's top-level sibling row, preserving its row hash:
+    # under hash-only grouping it would silently merge with proof 0's
+    # (identical) suffix and verify; exact grouping must reject the batch.
+    d0, d1 = _hash_colliding_delta()
+    top = sib.shape[1] - 1
+    flat = sib[1, top].reshape(-1)
+    sib[1, top] = _apply_delta_row(flat, d0, d1).reshape(sib[1, top].shape)
+    got = merkle.verify_all(pos, sib, proved, root, arity, dedupe=True)
+    want = merkle.verify_all(pos, sib, proved, root, arity, dedupe=False)
+    assert got == want == False  # noqa: E712
+
+
 def test_dedup_verify_duplicate_full_suffix_conflict():
     """Two proofs with identical (positions, siblings) but different claimed
     leaves: the level-0 merge check must catch the conflict and the result
