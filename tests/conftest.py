@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persistent XLA compilation cache: recompiling the fused permutation on every
 # pytest invocation wastes minutes; cached executables load in milliseconds.
-os.environ.setdefault(
+_cache_dir = os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", "/tmp/cuzk_tpu_jax_cache"
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -46,7 +46,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 if os.environ.get("CUZK_NO_COMPILE_CACHE") != "1":
-    jax.config.update("jax_compilation_cache_dir", "/tmp/cuzk_tpu_jax_cache")
+    # Respect an overridden JAX_COMPILATION_CACHE_DIR (make test-cold
+    # points it at a throwaway dir to measure cold-suite time).
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # NOTE: do NOT enable jax_persistent_cache_enable_xla_caches='all' — the
 # CPU-backend AOT serialization it forces makes every compile ~10x slower.
