@@ -137,6 +137,37 @@ def verify_paths_match(batch: int = 256) -> bool:
     )
 
 
+def tunnel_conditions() -> Dict:
+    """Measure the backend's dispatch-hop latency and host->device upload
+    bandwidth right now.  Over the tunneled TPU these swing >10x between
+    runs (observed 3-33 ms per dependent hop, 7-330 MB/s upload), and they
+    bound every latency- or upload-dominated config — small hash batches,
+    the proof-verify uploads — so each bench artifact records the
+    conditions it was measured under."""
+    import jax.numpy as jnp
+
+    d = jnp.zeros((8, 16), jnp.uint32)
+    np.asarray(d[0, 0])  # warm the dispatch+readback path
+    hops = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray((d + 1)[0, 0])
+        hops.append(time.perf_counter() - t0)
+    mb = 4
+    h = np.random.default_rng(0).integers(
+        0, 1 << 16, (mb * 1024 * 1024 // 64, 16), dtype=np.uint32
+    )
+    t0 = time.perf_counter()
+    up = jnp.asarray(h)
+    np.asarray(up[0, 0])
+    sec = time.perf_counter() - t0
+    return {
+        "suite": "tunnel_conditions",
+        "hop_ms": round(sorted(hops)[1] * 1e3, 1),
+        "upload_mb_s": round(mb / max(sec - sorted(hops)[1], 1e-6), 1),
+    }
+
+
 def bench_poseidon(
     batch: int,
     total: int,
@@ -724,6 +755,12 @@ def main() -> None:
     args = parser.parse_args()
 
     results: List[Dict] = []
+    import jax
+
+    if args.suite in ("all", "poseidon", "merkle", "proofs") and (
+        jax.default_backend() in ("tpu", "axon")
+    ):
+        print(json.dumps(tunnel_conditions()))
     # The gate covers every suite that runs accelerated ops (the reference
     # gates its whole benchmark binary, benchmark.cpp:137-144): the merkle
     # and proofs suites run entirely on hash_multiple, which the widened

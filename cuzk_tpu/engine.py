@@ -113,22 +113,37 @@ class PallasPoseidonEngine(PoseidonEngine):
 
 class DeferredHashes:
     """Handle for queued hashes; ``get()`` forces the owning engine's flush
-    and returns this call's ``[B, 16]`` results (a view into the fused
-    dispatch's output)."""
+    and returns this call's ``[B, 16]`` results.
 
-    __slots__ = ("_engine", "_value")
+    The flush stores (fused output, offset, count); the per-call slice is
+    taken LAZILY at first ``get()``.  Eager slicing (round 2) dispatched
+    one tiny device op per queued call right inside the flush — on a
+    tunneled backend that turned a 1-dispatch flush into a ~100-op chain
+    and dominated the small-batch benchmark configs."""
+
+    __slots__ = ("_engine", "_value", "_src")
 
     def __init__(self, engine: "CoalescingPoseidonEngine"):
         self._engine = engine
         self._value = None
+        self._src = None
+
+    @property
+    def ready(self) -> bool:
+        """True once a flush has produced this call's results."""
+        return self._value is not None or self._src is not None
 
     def get(self) -> jnp.ndarray:
-        if self._value is None:
+        if not self.ready:
             self._engine.flush()
-        if self._value is None:  # flush restored the queue on a failure
-            raise ComputationError(
-                "deferred hashes were not materialized by flush()"
-            )
+        if self._value is None:
+            if self._src is None:  # flush restored the queue on a failure
+                raise ComputationError(
+                    "deferred hashes were not materialized by flush()"
+                )
+            out, off, n = self._src
+            self._value = out[off : off + n]
+            self._src = None
         return self._value
 
 
@@ -219,7 +234,7 @@ class CoalescingPoseidonEngine(PoseidonEngine):
             off = 0
             for arrs0, d in zip(cols[0], deferreds):
                 n = arrs0.shape[0]
-                d._value = out[off : off + n]
+                d._src = (out, off, n)  # sliced lazily at first get()
                 off += n
             self.stats.total_hashes += off
             self.stats.batch_count += 1

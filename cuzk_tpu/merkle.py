@@ -491,20 +491,55 @@ def _dedup_schedule(positions: np.ndarray, siblings: np.ndarray):
     return levels, leaf_src
 
 
-def _dedup_verify_levels(arity, sizes, check_sizes, kb, leaves_p, root,
-                         idx_all, sibs_all):
+def _pack16_host(a: np.ndarray) -> np.ndarray:
+    """``[.., 16] uint32`` canonical 16-bit digits -> ``[.., 8] uint32``
+    (two digits per word, little-digit in the low half).  Callers MUST
+    range-check digits < 2^16 first: packing drops high bits, and a
+    malicious proof digit >= 2^16 aliasing a valid one would break
+    soundness (the range gate forces those batches to the exact path)."""
+    a = np.ascontiguousarray(a, np.uint32)
+    return a[..., 0::2] | (a[..., 1::2] << np.uint32(16))
+
+
+def _unpack16(p: jnp.ndarray) -> jnp.ndarray:
+    """Device inverse of :func:`_pack16_host`: ``[.., 8] -> [.., 16]``."""
+    lo = p & jnp.uint32(0xFFFF)
+    hi = p >> jnp.uint32(16)
+    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[:-1] + (16,))
+
+
+def _dedup_verify_levels(arity, sizes, check_sizes, kb, packed):
     """Device program: one hash per unique suffix node, level by level, with
     the merge-consistency checks accumulated into one scalar.
 
-    The whole schedule arrives PACKED — ``idx_all`` is one int32 vector
-    ``[leaf_src(kb) | per level L: ent_idx(n_L) pos(n_L) checks(c_{L+1})]``
-    (each level's checks interleaved right after its ent_idx/pos; the last
-    level has no checks) sliced here by the static ``sizes``/
-    ``check_sizes``, and ``sibs_all``
-    stacks every level's sibling rows — so a verify is 2 uploads + 1 fused
-    dispatch + 1 packed readback instead of ~34 uploads and 2 readbacks
-    (measured 120 ms -> schedule-bound on the tunneled TPU).  Returns
-    ``[checks_ok, roots_ok] bool``."""
+    The whole schedule arrives as ONE flat uint32 vector ``packed`` —
+    ``[leaves_p (kb x 8) | root (8) | idx section | sibling rows (n x
+    (a-1) x 8)]`` with all digit data 16-bit-packed two-per-word
+    (:func:`_pack16_host`; the host range-gates digits first) and the idx
+    section ``[leaf_src(kb) | per level L: ent_idx(n_L) pos(n_L)
+    checks(c_{L+1})]`` (each level's checks interleaved right after its
+    ent_idx/pos; the last level has no checks), sliced here by the static
+    ``sizes``/``check_sizes``.  One upload + one fused dispatch + one tiny
+    readback, at half the raw bytes: on the tunneled TPU each dependent
+    host<->device hop costs ~3-33 ms and upload bandwidth swings 7-330
+    MB/s, so the round-2 4-upload unpacked layout paid more in transfer
+    than the whole dedup saved in hashing (measured 95 ms end-to-end).
+    Returns ``[checks_ok, roots_ok] bool``."""
+    nd = fr.NDIGITS
+    hw = nd // 2  # packed words per element
+    total_n = sum(sizes)
+    idx_len = kb + sum(2 * n for n in sizes) + sum(check_sizes[1:])
+    o = kb * hw
+    leaves_p = _unpack16(packed[:o].reshape(kb, hw))
+    root = _unpack16(packed[o : o + hw])
+    o += hw
+    idx_all = packed[o : o + idx_len].astype(jnp.int32)
+    o += idx_len
+    sibs_all = _unpack16(
+        packed[o : o + total_n * (arity - 1) * hw].reshape(
+            total_n, arity - 1, hw
+        )
+    )
     leaf_src = idx_all[:kb]
     ok = jnp.all(leaves_p == leaves_p[leaf_src])
     out = None
@@ -541,21 +576,36 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
         return None
     schedule, leaf_src = sched
     kb = _job_bucket(k)
-    leaves_p = jnp.asarray(_pad_rows(np.asarray(leaves, np.uint32), kb))
     sizes = tuple(lvl[1].shape[0] for lvl in schedule)
     check_sizes = tuple(lvl[3].shape[0] for lvl in schedule)
-    # Pack all int32 index vectors into one upload (layout documented on
-    # _dedup_verify_levels) and all sibling rows into another.
-    parts = [_pad_rows(leaf_src.reshape(-1, 1), kb).ravel().astype(np.int32)]
-    for L, (ent_idx, pos, _sibs, check_src) in enumerate(schedule):
-        parts.append(ent_idx.astype(np.int32))
-        parts.append(pos.astype(np.int32))
+    leaves_np = np.asarray(leaves, np.uint32)
+    root_np = np.asarray(root, np.uint32)
+    # Range gate for the 16-bit digit packing: a digit >= 2^16 is a
+    # malformed proof/leaf; packing would drop its high bits (a soundness
+    # hole — an attacker could alias a valid digit), so those batches go
+    # to the exact per-proof path instead.
+    if (
+        leaves_np.max(initial=0) >> 16
+        or root_np.max(initial=0) >> 16
+        or siblings.max(initial=0) >> 16
+    ):
+        return None
+    # Pack leaves, root, every index vector, and every sibling row into ONE
+    # uint32 upload (layout documented on _dedup_verify_levels), digit data
+    # two-digits-per-word.
+    parts = [
+        _pack16_host(_pad_rows(leaves_np, kb)).ravel(),
+        _pack16_host(root_np).ravel(),
+        _pad_rows(leaf_src.reshape(-1, 1), kb).ravel().astype(np.uint32),
+    ]
+    for L, (ent_idx, pos, _sibs, _check_src) in enumerate(schedule):
+        parts.append(ent_idx.astype(np.uint32))
+        parts.append(pos.astype(np.uint32))
         if L + 1 < len(schedule):
-            parts.append(schedule[L + 1][3].astype(np.int32))
-    idx_all = jnp.asarray(np.concatenate(parts))
-    sibs_all = jnp.asarray(
-        np.concatenate([lvl[2] for lvl in schedule], axis=0)
-    )
+            parts.append(schedule[L + 1][3].astype(np.uint32))
+    for lvl in schedule:
+        parts.append(_pack16_host(lvl[2]).ravel())
+    packed = jnp.asarray(np.concatenate(parts))
     # One fused dispatch on TPU; host-driven on CPU backends, where the
     # fused program's XLA:CPU compile is disproportionate (docs/PERF.md)
     # and the small per-level executables are shared.
@@ -564,12 +614,7 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
         if jax.default_backend() in ("tpu", "axon")
         else _dedup_verify_levels
     )
-    flags = np.asarray(
-        run(
-            arity, sizes, check_sizes, kb, leaves_p,
-            jnp.asarray(root, jnp.uint32), idx_all, sibs_all,
-        )
-    )
+    flags = np.asarray(run(arity, sizes, check_sizes, kb, packed))
     return bool(flags[1]) if bool(flags[0]) else None
 
 

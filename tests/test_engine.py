@@ -124,9 +124,9 @@ def test_coalescing_flush_threshold_triggers():
         inner=engine.JnpPoseidonEngine(), flush_elems=8
     )
     d1 = ce.async_hash_single(_digits(5))
-    assert d1._value is None and ce._pending == 5
+    assert not d1.ready and ce._pending == 5
     d2 = ce.async_hash_single(_digits(5))  # 10 >= 8: auto-flush
-    assert d1._value is not None and d2._value is not None
+    assert d1.ready and d2.ready
     assert ce._pending == 0 and not ce._queues
 
 

@@ -358,6 +358,26 @@ def test_dedup_verify_sound_under_crafted_collision():
     assert got == want == False  # noqa: E712
 
 
+def test_dedup_range_gate_rejects_oversized_digits():
+    """The dedup upload packs two 16-bit digits per word; a crafted sibling
+    digit d + 2^16 would truncate back to the valid d and verify.  The
+    range gate must route such batches to the exact path, which rejects
+    them."""
+    arity = 2
+    xs = [rng.randrange(oracle.P) for _ in range(16)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    idxs = list(range(8))
+    pos, sib = tree.generate_batch_proofs(idxs)
+    pos, sib = np.asarray(pos), np.asarray(sib).copy()
+    proved = np.asarray(tree.levels[0][np.array(idxs)])
+    root = np.asarray(tree.get_root_hash())
+    assert merkle.verify_all(pos, sib, proved, root, arity, dedupe=True)
+    sib[3, 1, 0, 2] += np.uint32(1 << 16)  # aliases the valid digit mod 2^16
+    got = merkle.verify_all(pos, sib, proved, root, arity, dedupe=True)
+    want = merkle.verify_all(pos, sib, proved, root, arity, dedupe=False)
+    assert got == want == False  # noqa: E712
+
+
 def test_dedup_verify_duplicate_full_suffix_conflict():
     """Two proofs with identical (positions, siblings) but different claimed
     leaves: the level-0 merge check must catch the conflict and the result
