@@ -11,10 +11,11 @@ test-fast:
 
 # Cold-cache suite timing: a throwaway compilation-cache dir pins the
 # "cold suite" claim in docs/PERF.md (the default run shares
-# /tmp/cuzk_tpu_jax_cache and measures warm).
+# /tmp/cuzk_tpu_jax_cache and measures warm; pytest's own summary line
+# reports the duration).
 test-cold:
 	CACHE=$$(mktemp -d /tmp/cuzk_cold_cache.XXXXXX) && \
-	JAX_COMPILATION_CACHE_DIR=$$CACHE time $(PYTHON) -m pytest tests/ -q; \
+	JAX_COMPILATION_CACHE_DIR=$$CACHE $(PYTHON) -m pytest tests/ -q; \
 	rc=$$?; rm -rf $$CACHE; exit $$rc
 
 # Stress tier (64K+-leaf trees) — the analog of the reference's
