@@ -20,8 +20,9 @@ import numpy as np
 
 # Persistent XLA compile cache: kernel compiles over the TPU tunnel run
 # minutes; cached executables load in milliseconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cuzk_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+from cuzk_tpu.utils.compilecache import enable_compile_cache
+
+enable_compile_cache()
 
 BASELINE_PAIR_HASHES_PER_S = 2_145_027.0  # A100 CUDA, README.md:134
 

@@ -19,10 +19,11 @@ import time
 
 import numpy as np
 
-# Persistent XLA compile cache (same dir as bench.py / bench.run): tunnel
-# compiles run minutes; cached executables load in milliseconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cuzk_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Persistent XLA compile cache: tunnel compiles run minutes; cached
+# executables load in milliseconds.
+from cuzk_tpu.utils.compilecache import enable_compile_cache
+
+enable_compile_cache()
 
 # poseidon_cuda_profiler.cpp:150-170
 COMPREHENSIVE_CONFIGS = [(1024, 100), (8192, 50), (32768, 20), (65536, 10)]

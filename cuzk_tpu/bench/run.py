@@ -28,9 +28,10 @@ import numpy as np
 
 # Persistent XLA compile cache (must be set before jax initializes):
 # kernel compiles over the TPU tunnel run ~10 minutes each; cached
-# executables load in milliseconds.  Same cache dir as bench.py/conftest.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cuzk_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# executables load in milliseconds.
+from cuzk_tpu.utils.compilecache import enable_compile_cache
+
+enable_compile_cache()
 
 # The environment's TPU platform plugin overrides JAX_PLATFORMS at import
 # time; honor an explicit JAX_PLATFORMS=cpu request (virtual-mesh scaling

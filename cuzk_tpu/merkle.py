@@ -571,6 +571,27 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
     """Deduped all-or-nothing verify.  Returns True/False, or None when a
     merge check failed and the exact per-proof path must decide."""
     k = positions.shape[0]
+    leaves_np = np.asarray(leaves, np.uint32)
+    root_np = np.asarray(root, np.uint32)
+    # Range gates — cheap host checks BEFORE the schedule build, because a
+    # tripped gate discards everything built after it:
+    #  - positions must lie in [0, arity): the suffix-key packing uses 8
+    #    bits per position ((c1 << 8) | pos in _dedup_schedule), so an
+    #    attacker-controlled pos >= 256 or < 0 could alias two distinct
+    #    suffixes into one group without its data ever being hashed;
+    #  - digits must be canonical 16-bit: the packed upload stores two
+    #    digits per word, so d and d + 2^16 would alias.
+    # Either way the exact per-proof path decides (it inserts nothing at
+    # an out-of-range position and hashes full-width digits, rejecting
+    # such proofs), preserving bit-exact reference semantics.
+    if (
+        positions.min(initial=0) < 0
+        or positions.max(initial=0) >= arity
+        or leaves_np.max(initial=0) >> 16
+        or root_np.max(initial=0) >> 16
+        or siblings.max(initial=0) >> 16
+    ):
+        return None
     sched = _dedup_schedule(positions, siblings)
     if sched is None:  # host-hash bucket failed byte confirmation
         return None
@@ -578,18 +599,6 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
     kb = _job_bucket(k)
     sizes = tuple(lvl[1].shape[0] for lvl in schedule)
     check_sizes = tuple(lvl[3].shape[0] for lvl in schedule)
-    leaves_np = np.asarray(leaves, np.uint32)
-    root_np = np.asarray(root, np.uint32)
-    # Range gate for the 16-bit digit packing: a digit >= 2^16 is a
-    # malformed proof/leaf; packing would drop its high bits (a soundness
-    # hole — an attacker could alias a valid digit), so those batches go
-    # to the exact per-proof path instead.
-    if (
-        leaves_np.max(initial=0) >> 16
-        or root_np.max(initial=0) >> 16
-        or siblings.max(initial=0) >> 16
-    ):
-        return None
     # Pack leaves, root, every index vector, and every sibling row into ONE
     # uint32 upload (layout documented on _dedup_verify_levels), digit data
     # two-digits-per-word.

@@ -93,13 +93,18 @@ def shard_batch(x, mesh: Mesh, axis_name: str = DATA_AXIS):
 
 
 def _mesh_key(mesh: Mesh):
-    """Value-based cache identity for a mesh: the device ids plus axis
-    names.  Keying on ``id(mesh)`` (round 2) was unsound — a new Mesh
-    allocated at a garbage-collected Mesh's address would hit the stale
-    executable for the WRONG mesh — and grew one entry per Mesh object;
-    this key is stable across equal meshes and collision-free across
-    different ones."""
-    return (tuple(d.id for d in mesh.devices.flat), tuple(mesh.axis_names))
+    """Value-based cache identity for a mesh: device ids, the device-grid
+    SHAPE (two meshes over the same devices reshaped differently partition
+    differently), and axis names.  Keying on ``id(mesh)`` (round 2) was
+    unsound — a new Mesh allocated at a garbage-collected Mesh's address
+    would hit the stale executable for the WRONG mesh — and grew one
+    entry per Mesh object; this key is stable across equal meshes and
+    collision-free across different ones."""
+    return (
+        tuple(d.id for d in mesh.devices.flat),
+        mesh.devices.shape,
+        tuple(mesh.axis_names),
+    )
 
 
 def _shmap_hash(mesh: Mesh, axis_name: str, kind: str):

@@ -26,10 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persistent XLA compilation cache: recompiling the fused permutation on every
 # pytest invocation wastes minutes; cached executables load in milliseconds.
-_cache_dir = os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", "/tmp/cuzk_tpu_jax_cache"
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+from cuzk_tpu.utils.compilecache import enable_compile_cache  # noqa: E402
+
+_cache_dir = enable_compile_cache()
 
 # The environment's TPU platform plugin overrides JAX_PLATFORMS at import
 # time; pin the config explicitly as well.

@@ -14,11 +14,12 @@ import sys
 def main() -> None:
     port, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cuzk_tpu_jax_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    from cuzk_tpu.utils.compilecache import enable_compile_cache
+
+    enable_compile_cache()
 
     from cuzk_tpu.parallel import distributed
 

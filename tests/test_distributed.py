@@ -130,3 +130,16 @@ def test_shard_batch_casts_device_arrays_to_uint32():
     got = distributed.sharded_hash_single(dev_i32, mesh)
     want = poseidon.hash_single(jnp.asarray(host))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mesh_key_distinguishes_grid_shapes():
+    """Two meshes over the same devices with the same axis names but
+    different grid shapes partition differently and must not share cache
+    entries (round-3 review finding)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:4])
+    m22 = Mesh(devs.reshape(2, 2), ("data", "model"))
+    m41 = Mesh(devs.reshape(4, 1), ("data", "model"))
+    assert distributed._mesh_key(m22) != distributed._mesh_key(m41)

@@ -396,3 +396,24 @@ def test_dedup_verify_duplicate_full_suffix_conflict():
     got = merkle.verify_all(pos, sib, conflicted, root, arity, dedupe=True)
     want = merkle.verify_all(pos, sib, conflicted, root, arity, dedupe=False)
     assert got == want == False  # noqa: E712
+
+
+def test_dedup_gate_rejects_out_of_range_positions():
+    """Positions are attacker-controlled and the dedup suffix key packs
+    them into 8 bits ((c1 << 8) | pos): pos >= arity (e.g. pos + 256) or
+    negative positions must route to the exact per-proof path, which
+    rejects them (round-3 review finding)."""
+    arity = 2
+    xs = [rng.randrange(oracle.P) for _ in range(16)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    idxs = [0, 0, 5, 9]
+    pos, sib = tree.generate_batch_proofs(idxs)
+    pos, sib = np.asarray(pos).copy(), np.asarray(sib)
+    proved = np.asarray(tree.levels[0][np.array(idxs)])
+    root = np.asarray(tree.get_root_hash())
+    for bad in (pos[1, -1] + 256, -1):
+        p2 = pos.copy()
+        p2[1, -1] = bad  # proof 1 shares proof 0's suffix hash otherwise
+        got = merkle.verify_all(p2, sib, proved, root, arity, dedupe=True)
+        want = merkle.verify_all(p2, sib, proved, root, arity, dedupe=False)
+        assert got == want == False  # noqa: E712
