@@ -1,6 +1,6 @@
 #!/bin/bash
 # Benchmark driver (the analog of run_poseidon_benchmark.sh /
-# run_merkle_benchmarks.sh): quick / full / poseidon-only / merkle-only modes.
+# run_merkle_benchmarks.sh): quick / full / per-layer / verification modes.
 set -e
 MODE="${1:-quick}"
 case "$MODE" in
@@ -9,5 +9,13 @@ case "$MODE" in
   poseidon) python -m cuzk_tpu.bench.run --suite poseidon ;;
   merkle)   python -m cuzk_tpu.bench.run --suite merkle
             python -m cuzk_tpu.bench.run --suite proofs ;;
-  *) echo "usage: $0 [quick|full|poseidon|merkle]"; exit 1 ;;
+  compare)  python -m cuzk_tpu.bench.run --suite compare ;;
+  sweep)    python -m cuzk_tpu.bench.run --suite sweep ;;
+  verify)   python -m cuzk_tpu.bench.run --suite verify --stress ;;
+  scaling)  JAX_PLATFORMS="${JAX_PLATFORMS:-cpu}" \
+            XLA_FLAGS="${XLA_FLAGS:---xla_force_host_platform_device_count=8}" \
+            python -m cuzk_tpu.bench.run --suite scaling --weak --arity 8 \
+                --leaves "${LEAVES_PER_DEVICE:-4096}" ;;
+  *) echo "usage: $0 [quick|full|poseidon|merkle|compare|sweep|verify|scaling]"
+     exit 1 ;;
 esac
