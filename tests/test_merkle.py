@@ -417,3 +417,44 @@ def test_dedup_gate_rejects_out_of_range_positions():
         got = merkle.verify_all(p2, sib, proved, root, arity, dedupe=True)
         want = merkle.verify_all(p2, sib, proved, root, arity, dedupe=False)
         assert got == want == False  # noqa: E712
+
+
+def test_dedup_fuzz_matches_exact_path():
+    """Randomized differential: for random trees, index multisets, and
+    tamper patterns (none / leaf / sibling / position / root), the deduped
+    verdict must equal the exact per-proof path's verdict."""
+    frng = random.Random(0xFEED)
+    for trial in range(12):
+        arity = frng.choice([2, 3, 4, 8])
+        n = frng.randrange(2, 40)
+        xs = [frng.randrange(oracle.P) for _ in range(n)]
+        tree = merkle.NaryMerkleTree(
+            leaves_arr(xs), merkle.MerkleConfig(arity)
+        )
+        k = frng.randrange(2, 24)
+        idxs = [frng.randrange(n) for _ in range(k)]
+        pos, sib = tree.generate_batch_proofs(idxs)
+        pos = np.asarray(pos).copy()
+        sib = np.asarray(sib).copy()
+        proved = np.asarray(tree.levels[0][np.array(idxs)]).copy()
+        root = np.asarray(tree.get_root_hash()).copy()
+        h = pos.shape[1]
+        tamper = frng.choice(["none", "leaf", "sib", "pos", "root"])
+        if tamper == "leaf":
+            proved[frng.randrange(k), frng.randrange(16)] ^= 1
+        elif tamper == "sib" and h:
+            sib[
+                frng.randrange(k), frng.randrange(h),
+                frng.randrange(max(arity - 1, 1)), frng.randrange(16),
+            ] ^= 1
+        elif tamper == "pos" and h:
+            r, c = frng.randrange(k), frng.randrange(h)
+            pos[r, c] = (pos[r, c] + frng.randrange(1, arity)) % arity
+        elif tamper == "root":
+            root[frng.randrange(16)] ^= 1
+        got = merkle.verify_all(pos, sib, proved, root, arity, dedupe=True)
+        want = merkle.verify_all(pos, sib, proved, root, arity, dedupe=False)
+        assert got == want, (
+            f"trial {trial}: dedup={got} exact={want} "
+            f"(arity={arity} n={n} k={k} tamper={tamper})"
+        )
