@@ -650,6 +650,62 @@ def verify_all(
 
 
 # ---------------------------------------------------------------------------
+# Incremental leaf updates — beyond-parity: the reference's update_leaf is
+# a full rebuild (merkle_tree.cpp:290-301); here only the affected
+# leaf->root paths rehash (O(k * height) sponges instead of O(n)), bit-
+# identical to a rebuild because every recomputed node hashes exactly the
+# inputs the rebuild would.
+# ---------------------------------------------------------------------------
+
+
+def _update_paths(arity, idx, vals, levels):
+    """Scatter ``vals`` at leaf rows ``idx`` and rehash each affected
+    group per level.  Duplicate PARENT indices among the k paths simply
+    recompute the same value (idempotent scatter); ``idx`` itself must be
+    unique (enforced by the caller)."""
+    levels = list(levels)
+    idx = idx.astype(jnp.int32)
+    levels[0] = levels[0].at[idx].set(vals)
+    for L in range(len(levels) - 1):
+        pidx = idx // arity
+        rows = (pidx * arity)[:, None] + jnp.arange(arity, dtype=jnp.int32)
+        groups = levels[L][rows]  # [k, arity, 16]
+        parents = _engine_hash_multiple(groups)
+        levels[L + 1] = levels[L + 1].at[pidx].set(parents)
+        idx = pidx
+    return tuple(levels)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _update_paths_fused(arity, idx, vals, *levels):
+    """TPU path: the whole update is ONE dispatch (executables keyed on
+    (arity, k-bucket, level shapes) — reused across updates of any
+    same-shaped tree)."""
+    return _update_paths(arity, idx, vals, levels)
+
+
+def update_tree_levels(levels, arity: int, indices, values):
+    """Incrementally update built levels: new level list with ``values``
+    at leaf ``indices`` and only the affected paths rehashed."""
+    idx_np = np.atleast_1d(np.asarray(indices, np.int64))
+    if len(np.unique(idx_np)) != len(idx_np):
+        raise errors.ValidationError("update indices must be unique")
+    vals = jnp.atleast_2d(jnp.asarray(values, jnp.uint32))
+    k = idx_np.shape[0]
+    kb = max(8, 1 << (k - 1).bit_length()) if k > 1 else 8
+    if kb != k:
+        # Pad with copies of update 0 (idempotent: same scatter value).
+        idx_np = np.concatenate([idx_np, np.repeat(idx_np[:1], kb - k)])
+        vals = jnp.concatenate(
+            [vals, jnp.broadcast_to(vals[:1], (kb - k, fr.NDIGITS))], axis=0
+        )
+    idx = jnp.asarray(idx_np, jnp.int32)
+    if jax.default_backend() in ("tpu", "axon"):
+        return list(_update_paths_fused(arity, idx, vals, *levels))
+    return list(_update_paths(arity, idx, vals, levels))
+
+
+# ---------------------------------------------------------------------------
 # Object-style wrapper for API parity with NaryMerkleTree
 # (merkle_tree.hpp:54-110).
 # ---------------------------------------------------------------------------
@@ -705,13 +761,26 @@ class NaryMerkleTree:
         )
 
     def update_leaf(self, index: int, value) -> bool:
-        """Full rebuild, like the reference (merkle_tree.cpp:290-301)."""
-        if not self._levels or not 0 <= index < self._num_leaves:
+        """Update one leaf.  Bit-identical to the reference's full rebuild
+        (merkle_tree.cpp:290-301) but O(height) — see update_leaves."""
+        return self.update_leaves([index], jnp.asarray(value, jnp.uint32)[None])
+
+    def update_leaves(self, indices, values) -> bool:
+        """Batched incremental update: only the affected leaf->root paths
+        rehash (O(k * height) sponges vs the reference's O(n) rebuild),
+        producing bit-identical levels.  Indices must be unique and in
+        range; returns False (tree untouched) otherwise."""
+        if not self._levels:
             return False
-        leaves = self._levels[0][: self._num_leaves].at[index].set(
-            jnp.asarray(value, jnp.uint32)
+        idx = np.atleast_1d(np.asarray(indices, np.int64))
+        if idx.size == 0 or len(np.unique(idx)) != len(idx):
+            return False
+        if idx.min() < 0 or idx.max() >= self._num_leaves:
+            return False
+        self._levels = update_tree_levels(
+            self._levels, self.config.arity, idx, values
         )
-        return self.build_tree(leaves)
+        return True
 
     def insert_leaf(self, value) -> bool:
         """Append + full rebuild (merkle_tree.cpp:290-295)."""

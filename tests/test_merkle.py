@@ -458,3 +458,36 @@ def test_dedup_fuzz_matches_exact_path():
             f"trial {trial}: dedup={got} exact={want} "
             f"(arity={arity} n={n} k={k} tamper={tamper})"
         )
+
+
+@pytest.mark.parametrize("arity,n", [(2, 11), (4, 16), (8, 21)])
+def test_update_leaves_incremental_matches_rebuild(arity, n):
+    """Batched incremental updates (O(k*h) path rehash — beyond-parity vs
+    the reference's full rebuild) must produce bit-identical levels."""
+    xs = [rng.randrange(oracle.P) for _ in range(n)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    idxs = [0, n - 1, n // 2]  # includes the padded-boundary group
+    vals = [rng.randrange(oracle.P) for _ in idxs]
+    assert tree.update_leaves(idxs, leaves_arr(vals))
+    xs2 = list(xs)
+    for i, v in zip(idxs, vals):
+        xs2[i] = v
+    rebuilt = merkle.NaryMerkleTree(
+        leaves_arr(xs2), merkle.MerkleConfig(arity)
+    )
+    for got, want in zip(tree.levels, rebuilt.levels):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert tree.root_int() == oracle.merkle_root(xs2, arity)
+
+
+def test_update_leaves_rejects_bad_inputs():
+    xs = [rng.randrange(oracle.P) for _ in range(6)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs))
+    root_before = tree.root_int()
+    v = leaves_arr([1])
+    assert not tree.update_leaves([1, 1], leaves_arr([1, 2]))  # duplicates
+    assert not tree.update_leaves([6], v)  # out of range
+    assert not tree.update_leaves([-1], v)
+    assert not tree.update_leaves([], np.zeros((0, 16), np.uint32))
+    assert not merkle.NaryMerkleTree().update_leaves([0], v)  # empty tree
+    assert tree.root_int() == root_before  # untouched on every rejection
