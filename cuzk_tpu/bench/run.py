@@ -258,6 +258,50 @@ def bench_merkle_build(n_leaves: int, arity: int, iters: int = 3) -> Dict:
     return out
 
 
+def bench_incremental_update(
+    n_leaves: int, arity: int, k: int = 64, iters: int = 10
+) -> Dict:
+    """Incremental batched leaf update vs full rebuild (beyond-parity: the
+    reference's update_leaf IS a full rebuild, merkle_tree.cpp:290-301).
+    Times ``update_leaves`` of ``k`` random leaves on an ``n_leaves`` tree
+    against rebuilding it, with a root consistency check."""
+    import jax.numpy as jnp
+
+    from cuzk_tpu import merkle
+
+    rng = np.random.default_rng(29)
+    leaves = jnp.asarray(_rand_digits(n_leaves, 28))
+    tree = merkle.NaryMerkleTree(leaves, merkle.MerkleConfig(arity))
+    idx = rng.choice(n_leaves, size=k, replace=False)
+    vals = jnp.asarray(_rand_digits(k, 30))
+
+    def update(i, v):
+        t2 = merkle.NaryMerkleTree(config=merkle.MerkleConfig(arity))
+        t2._levels, t2._num_leaves = list(tree.levels), n_leaves
+        t2.update_leaves(i, v)
+        return t2._levels[-1]
+
+    def rebuild(lv):
+        return merkle.build_tree_levels(lv, arity)[-1]
+
+    sec_up = time_fn(update, idx, vals, iters=iters, warmup=1)
+    updated = jnp.asarray(leaves).at[jnp.asarray(idx)].set(vals)
+    sec_rb = time_fn(rebuild, updated, iters=3, warmup=1)
+    consistent = bool(
+        np.array_equal(np.asarray(update(idx, vals)), np.asarray(rebuild(updated)))
+    )
+    return {
+        "suite": "incremental_update",
+        "leaves": n_leaves,
+        "arity": arity,
+        "updates": k,
+        "update_ms": round(sec_up * 1e3, 2),
+        "rebuild_ms": round(sec_rb * 1e3, 2),
+        "speedup_vs_rebuild": round(sec_rb / sec_up, 1),
+        "roots_consistent": consistent,
+    }
+
+
 def bench_merkle_compare(n_leaves: int, arity: int, iters: int = 3) -> Dict:
     """Reference-path (jnp, the 'CPU' slot) vs accelerated (fused Pallas)
     side-by-side build with an IN-BENCH consistency check — the analog of
@@ -686,6 +730,11 @@ def _print_summary(results: List[Dict]) -> None:
             rows.append((s, cfg, f"{r['accelerated_ms']} ms",
                          f"{r['speedup']}x vs jnp path",
                          "consistent" if r["trees_consistent"] else "MISMATCH"))
+        elif s == "incremental_update":
+            cfg = f"{r['updates']} of {r['leaves']} leaves a={r['arity']}"
+            rows.append((s, cfg, f"{r['update_ms']} ms",
+                         f"{r['speedup_vs_rebuild']}x vs rebuild",
+                         "consistent" if r["roots_consistent"] else "MISMATCH"))
     if not rows:
         return
     dev = jax.devices()[0]
@@ -714,7 +763,7 @@ def main() -> None:
         default="all",
         choices=[
             "all", "poseidon", "merkle", "proofs", "scaling", "sweep",
-            "verify", "compare",
+            "verify", "compare", "updates",
         ],
     )
     parser.add_argument(
@@ -758,7 +807,7 @@ def main() -> None:
     results: List[Dict] = []
     import jax
 
-    if args.suite in ("all", "poseidon", "merkle", "proofs") and (
+    if args.suite in ("all", "poseidon", "merkle", "proofs", "updates") and (
         jax.default_backend() in ("tpu", "axon")
     ):
         print(json.dumps(tunnel_conditions()))
@@ -807,6 +856,13 @@ def main() -> None:
         print(json.dumps(res))
         if not res["trees_consistent"]:
             raise SystemExit("compare: reference and accelerated trees differ")
+
+    if args.suite == "updates":
+        res = bench_incremental_update(args.leaves, args.arity)
+        results.append(res)
+        print(json.dumps(res))
+        if not res["roots_consistent"]:
+            raise SystemExit("updates: incremental and rebuilt roots differ")
 
     if args.suite == "verify":
         res = run_hardware_verify(args.verify_out, stress=args.stress)
