@@ -783,8 +783,18 @@ class NaryMerkleTree:
         return True
 
     def insert_leaf(self, value) -> bool:
-        """Append + full rebuild (merkle_tree.cpp:290-295)."""
+        """Append a leaf (merkle_tree.cpp:290-295).  When the padded level
+        still has a free slot, the append is an O(height) incremental
+        path update of that slot (it held ``empty_hash(arity)``, exactly
+        what a rebuild would replace) — bit-identical to the reference's
+        full rebuild, which only happens when capacity grows."""
         new = jnp.asarray(value, jnp.uint32)[None, :]
+        if self._levels and self._num_leaves < self._levels[0].shape[0]:
+            self._levels = update_tree_levels(
+                self._levels, self.config.arity, [self._num_leaves], new
+            )
+            self._num_leaves += 1
+            return True
         if self._levels:
             leaves = jnp.concatenate(
                 [self._levels[0][: self._num_leaves], new], axis=0

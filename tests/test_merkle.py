@@ -491,3 +491,23 @@ def test_update_leaves_rejects_bad_inputs():
     assert not tree.update_leaves([], np.zeros((0, 16), np.uint32))
     assert not merkle.NaryMerkleTree().update_leaves([0], v)  # empty tree
     assert tree.root_int() == root_before  # untouched on every rejection
+
+
+@pytest.mark.parametrize("arity", [2, 4])
+def test_insert_leaf_incremental_into_padded_slot(arity):
+    """Appending into a free padded slot takes the O(height) path and must
+    match a from-scratch build (and the oracle) exactly, including the
+    follow-up insert that exhausts capacity and rebuilds."""
+    xs = [rng.randrange(oracle.P) for _ in range(5)]  # padded to 8/16
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    for _ in range(4):  # crosses the capacity boundary for arity 2
+        v = rng.randrange(oracle.P)
+        assert tree.insert_leaf(fr.int_to_digits(v))
+        xs.append(v)
+        assert tree.get_leaf_count() == len(xs)
+        assert tree.root_int() == oracle.merkle_root(xs, arity)
+        rebuilt = merkle.NaryMerkleTree(
+            leaves_arr(xs), merkle.MerkleConfig(arity)
+        )
+        for got, want in zip(tree.levels, rebuilt.levels):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
