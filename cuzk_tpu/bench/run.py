@@ -816,7 +816,7 @@ def main() -> None:
     # and proofs suites run entirely on hash_multiple, which the widened
     # gate now checks.
     if not args.skip_verify and args.suite in (
-        "all", "poseidon", "merkle", "proofs", "sweep", "compare"
+        "all", "poseidon", "merkle", "proofs", "sweep", "compare", "updates"
     ):
         ok = verify_paths_match()
         print(json.dumps({"suite": "verify_paths_match", "ok": ok}))

@@ -686,19 +686,23 @@ def _update_paths_fused(arity, idx, vals, *levels):
 
 def update_tree_levels(levels, arity: int, indices, values):
     """Incrementally update built levels: new level list with ``values``
-    at leaf ``indices`` and only the affected paths rehashed."""
+    at leaf ``indices`` and only the affected paths rehashed.  Raises
+    ``ValidationError`` for duplicate indices or a ``values`` row count
+    that does not match ``indices`` (a silent jnp broadcast would set
+    every indexed leaf to one value)."""
     idx_np = np.atleast_1d(np.asarray(indices, np.int64))
     if len(np.unique(idx_np)) != len(idx_np):
         raise errors.ValidationError("update indices must be unique")
-    vals = jnp.atleast_2d(jnp.asarray(values, jnp.uint32))
+    vals_np = np.atleast_2d(np.asarray(values, np.uint32))
     k = idx_np.shape[0]
-    kb = max(8, 1 << (k - 1).bit_length()) if k > 1 else 8
-    if kb != k:
-        # Pad with copies of update 0 (idempotent: same scatter value).
-        idx_np = np.concatenate([idx_np, np.repeat(idx_np[:1], kb - k)])
-        vals = jnp.concatenate(
-            [vals, jnp.broadcast_to(vals[:1], (kb - k, fr.NDIGITS))], axis=0
+    if vals_np.shape != (k, fr.NDIGITS):
+        raise errors.ValidationError(
+            f"values must be [{k}, {fr.NDIGITS}], got {vals_np.shape}"
         )
+    kb = _job_bucket(k)
+    # Pad with copies of update 0 (idempotent: same scatter value).
+    idx_np = _pad_rows(idx_np.reshape(-1, 1), kb).ravel()
+    vals = jnp.asarray(_pad_rows(vals_np, kb))
     idx = jnp.asarray(idx_np, jnp.int32)
     if jax.default_backend() in ("tpu", "axon"):
         return list(_update_paths_fused(arity, idx, vals, *levels))
@@ -769,17 +773,20 @@ class NaryMerkleTree:
         """Batched incremental update: only the affected leaf->root paths
         rehash (O(k * height) sponges vs the reference's O(n) rebuild),
         producing bit-identical levels.  Indices must be unique and in
-        range; returns False (tree untouched) otherwise."""
+        range and ``values`` one row per index; returns False (tree
+        untouched) otherwise."""
         if not self._levels:
             return False
         idx = np.atleast_1d(np.asarray(indices, np.int64))
-        if idx.size == 0 or len(np.unique(idx)) != len(idx):
+        if idx.size == 0 or idx.min() < 0 or idx.max() >= self._num_leaves:
             return False
-        if idx.min() < 0 or idx.max() >= self._num_leaves:
+        try:  # uniqueness/shape validation lives in update_tree_levels
+            new_levels = update_tree_levels(
+                self._levels, self.config.arity, idx, values
+            )
+        except errors.ValidationError:
             return False
-        self._levels = update_tree_levels(
-            self._levels, self.config.arity, idx, values
-        )
+        self._levels = new_levels
         return True
 
     def insert_leaf(self, value) -> bool:
