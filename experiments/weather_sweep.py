@@ -1,0 +1,60 @@
+"""Warm re-measurement sweep for tunnel-weather-bound benchmark configs.
+
+The latency/upload-bound configs (5K-proof batch verify, small/medium
+hash batches) move 5-10x with the TPU tunnel's conditions (docs/PERF.md
+"Tunnel weather").  Mosaic executables don't persist across processes, so
+re-running the bench CLI per sample would pay ~25 min of compiles each
+time; this sweep compiles ONCE and then re-times the configs every
+INTERVAL seconds together with `tunnel_conditions`, appending JSON lines
+to OUT.  Harvest: the per-sample conditions make every number
+interpretable, and the best sample bounds what the software achieves
+when the interconnect cooperates.
+
+Usage (keep the host otherwise idle):
+    PYTHONPATH=/root/repo:/root/.axon_site python experiments/weather_sweep.py [hours]
+"""
+
+import json
+import sys
+import time
+
+from cuzk_tpu.utils.compilecache import enable_compile_cache
+
+enable_compile_cache()
+
+from cuzk_tpu.bench import run as br  # noqa: E402
+
+MAX_HOURS = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
+INTERVAL = 600
+OUT = "/tmp/weather_sweep.jsonl"
+BASELINE_MS = 14.0  # stop early once the 14.8 ms baseline is clearly beaten
+
+
+def log(obj):
+    obj["t"] = round(time.time())
+    with open(OUT, "a") as f:
+        f.write(json.dumps(obj) + "\n")
+    print(json.dumps(obj), flush=True)
+
+
+def main():
+    start = time.time()
+    while time.time() - start < MAX_HOURS * 3600:
+        try:
+            log(br.tunnel_conditions())
+            res = br.bench_batch_verify(5000, 50000, 4, iters=5)
+            log(res)
+            for batch, total in ((512, 10_000), (1024, 100_000)):
+                for mode in ("pairs", "single"):
+                    log(br.bench_poseidon(batch, total, mode, "pallas", True))
+            if res["verify_ms"] <= BASELINE_MS:
+                log({"suite": "weather_sweep", "msg": "baseline beaten"})
+                break
+        except Exception as e:  # tunnel hiccup: note it, retry next tick
+            log({"suite": "weather_sweep", "error": repr(e)[:200]})
+        time.sleep(INTERVAL)
+    log({"suite": "weather_sweep", "msg": "done"})
+
+
+if __name__ == "__main__":
+    main()
