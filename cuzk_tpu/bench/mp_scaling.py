@@ -1,0 +1,209 @@
+"""Weak-scaling benchmark under REAL multi-process ``jax.distributed``.
+
+The virtual-mesh weak-scaling sweep (``bench.run --suite scaling --weak``)
+runs d logical devices inside one process, so its collectives never cross a
+process boundary.  This harness reuses the bootstrap proven by
+tests/mp_worker.py to run the same sharded build across N localhost OS
+processes x ``--devices-per-proc`` CPU devices each: the ``all_gather``
+level collapse and the sparse-psum proof path now ride the cross-process
+collective transport (the real coordination cost a multi-host TPU slice
+pays over DCN), and the recorded rows say so.
+
+On a 1-core host all processes contend for the same core, so — exactly as
+in docs/WEAK_SCALING.json — ``efficiency_serialized`` =
+throughput(d)/throughput(1) (ideal 1.0, total-throughput retention) is the
+meaningful metric; classic parallel ``efficiency`` necessarily decays ~1/d.
+
+Usage (launcher spawns its own workers):
+    python -m cuzk_tpu.bench.mp_scaling --leaves-per-device 512 --arity 8 \
+        --procs 1 2 4 --devices-per-proc 2 --out docs/WEAK_SCALING_MP.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+# ---------------------------------------------------------------------------
+# Worker: one process of the jax.distributed job.
+# ---------------------------------------------------------------------------
+
+
+def worker(argv) -> None:
+    (port, nproc, pid, ldc, leaves_per_device, arity, iters) = (
+        int(v) for v in argv
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    from cuzk_tpu.utils.compilecache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from cuzk_tpu.parallel import distributed
+
+    distributed.initialize_multiprocess(
+        f"localhost:{port}", nproc, pid, local_device_count=ldc
+    )
+
+    import jax
+    import numpy as np
+
+    from cuzk_tpu.field import fr
+
+    d = nproc * ldc
+    assert len(jax.devices()) == d, jax.devices()
+    mesh = distributed.make_mesh()
+
+    # Same host value in every process (shard_batch contract).
+    rng = np.random.default_rng(17)
+    leaves = rng.integers(
+        0, 1 << 16, (leaves_per_device * d, fr.NDIGITS), dtype=np.uint32
+    )
+
+    def build():
+        _, replicated = distributed.sharded_build_levels(leaves, arity, mesh)
+        root = replicated[-1][0]
+        # Root readback = completion barrier on every process (the gather
+        # and upper levels are replicated, so all shards must have fired).
+        return np.asarray(root.addressable_data(0))
+
+    build()  # warm-up/compile
+    start = time.perf_counter()
+    for _ in range(iters):
+        root = build()
+    sec = (time.perf_counter() - start) / iters
+
+    if pid == 0:
+        print(
+            "RESULT "
+            + json.dumps(
+                {
+                    "suite": "weak_scaling_mp",
+                    "processes": nproc,
+                    "devices_per_process": ldc,
+                    "devices": d,
+                    "leaves": leaves_per_device * d,
+                    "arity": arity,
+                    "build_ms": round(sec * 1e3, 2),
+                    "leaves_per_s": round(leaves_per_device * d / sec, 1),
+                    "root0": int(root[0]),
+                }
+            ),
+            flush=True,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Launcher: one jax.distributed job per process count, results aggregated.
+# ---------------------------------------------------------------------------
+
+
+def run_job(
+    nproc: int, ldc: int, leaves_per_device: int, arity: int, iters: int,
+    timeout_s: int = 1800,
+):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "cuzk_tpu.bench.mp_scaling", "--worker",
+                str(port), str(nproc), str(i), str(ldc),
+                str(leaves_per_device), str(arity), str(iters),
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout_s)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker {i} failed:\n{out}")
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+    raise RuntimeError("no RESULT line from process 0:\n" + "\n".join(outs))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2:])
+        return
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--leaves-per-device", type=int, default=512)
+    ap.add_argument("--arity", type=int, default=8)
+    ap.add_argument("--procs", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--devices-per-proc", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--out", default=None, help="write/merge JSON artifact")
+    args = ap.parse_args()
+
+    rows = []
+    base_tps = None
+    # Single-process single-device reference point first: throughput(1).
+    configs = [(1, 1)] + [(p, args.devices_per_proc) for p in args.procs]
+    seen = set()
+    for nproc, ldc in configs:
+        if (nproc, ldc) in seen:
+            continue
+        seen.add((nproc, ldc))
+        res = run_job(
+            nproc, ldc, args.leaves_per_device, args.arity, args.iters
+        )
+        d = res["devices"]
+        if base_tps is None:
+            base_tps = res["leaves_per_s"]
+        res["efficiency"] = round(res["leaves_per_s"] / (d * base_tps), 4)
+        res["efficiency_serialized"] = round(
+            res["leaves_per_s"] / base_tps, 4
+        )
+        res["cross_process"] = nproc > 1
+        rows.append(res)
+        print(json.dumps(res), flush=True)
+
+    if args.out:
+        artifact = {
+            "date": time.strftime("%Y-%m-%d"),
+            "substrate": (
+                f"{os.cpu_count()}-core host; N OS processes x "
+                f"{args.devices_per_proc} CPU devices via jax.distributed "
+                "(cross-process collectives on the d>=2 rows)"
+            ),
+            "leaves_per_device": args.leaves_per_device,
+            "arity": args.arity,
+            "rows": rows,
+        }
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,8 +53,9 @@ class PoseidonEngine(abc.ABC):
         return True
 
     def get_optimal_batch_size(self) -> int:
-        """The reference clamps to device limits (poseidon_cuda.cu:235);
-        on TPU larger batches amortize grid overhead up to HBM limits."""
+        """The reference derives this from a device probe
+        (maxThreadsPerBlock, poseidon_cuda.cu:235-236); engines here derive
+        it from the geometry of what they actually compile and run."""
         return 16384
 
     def get_max_batch_size(self) -> int:
@@ -110,6 +111,39 @@ class PallasPoseidonEngine(PoseidonEngine):
 
         return permutation_pallas(states)
 
+    # Packed-wire surface (fr.pack16 [B, 8] operands, 32 B/element): used
+    # by the coalescing engine to halve H2D upload bytes.  Digits MUST be
+    # range-checked < 2^16 by the caller (fr.pack16 docstring).
+    def batch_hash_single_packed(self, xp):
+        from cuzk_tpu.ops import hash_single_pallas_packed
+
+        return hash_single_pallas_packed(xp)
+
+    def batch_hash_pairs_packed(self, lp, rp):
+        from cuzk_tpu.ops import hash_pair_pallas_packed
+
+        return hash_pair_pallas_packed(lp, rp)
+
+    def batch_hash_multiple_packed(self, xp):
+        from cuzk_tpu.ops import hash_multiple_pallas_packed
+
+        return hash_multiple_pallas_packed(xp)
+
+    def get_optimal_batch_size(self) -> int:
+        """Smallest batch that saturates the fused kernel's grid geometry:
+        each grid step hashes one ``SUBLANE_TILE x 128``-lane tile
+        (``poseidon_pallas._tile_elems()`` elements, 1024 at the default
+        tile), and grid lengths are bucketed exact-to-8-tiles /
+        power-of-two-above (``poseidon_pallas._bucket_tiles``), so 16
+        tiles is the first bucket where (a) the batch is bucket-aligned
+        (zero padding waste) and (b) the fixed per-dispatch cost measured
+        on the v5e (~2 ms ramp per fused dispatch, docs/PERF.md) is under
+        ~10% of the tile stream time.  Larger power-of-two multiples only
+        amortize further — callers with more data should send it all."""
+        from cuzk_tpu.ops import poseidon_pallas
+
+        return 16 * poseidon_pallas._tile_elems()
+
 
 class DeferredHashes:
     """Handle for queued hashes; ``get()`` forces the owning engine's flush
@@ -119,7 +153,13 @@ class DeferredHashes:
     taken LAZILY at first ``get()``.  Eager slicing (round 2) dispatched
     one tiny device op per queued call right inside the flush — on a
     tunneled backend that turned a 1-dispatch flush into a ~100-op chain
-    and dominated the small-batch benchmark configs."""
+    and dominated the small-batch benchmark configs.
+
+    Two consequences of laziness: each un-``get()`` handle keeps the WHOLE
+    fused flush output alive (its ``_src`` references the shared buffer —
+    call ``get()`` on handles you need and drop the rest if device memory
+    matters), and each first ``get()`` dispatches one slice op (deferred
+    off the flush critical path, not eliminated)."""
 
     __slots__ = ("_engine", "_value", "_src")
 
@@ -179,6 +219,10 @@ class CoalescingPoseidonEngine(PoseidonEngine):
         self._pending = 0
 
     # -- async surface ----------------------------------------------------
+    # NOTE: async_hash_* may raise: when the enqueue crosses flush_elems it
+    # triggers an inline flush, and a dispatch failure propagates from the
+    # enqueue site.  The queue is restored first (flush() below), so the
+    # returned handle stays valid and get() retries the dispatch.
     def _enqueue(self, key, arrays) -> DeferredHashes:
         import numpy as np
 
@@ -217,16 +261,40 @@ class CoalescingPoseidonEngine(PoseidonEngine):
                 cols = list(zip(*calls))
                 deferreds = cols[-1]
                 stacked = [np.concatenate(c, axis=0) for c in cols[:-1]]
+                # Packed wire format (fr.pack16, 32 B/element — half the
+                # raw digit bytes) whenever the inner engine supports it
+                # and every digit is canonical 16-bit; non-canonical
+                # digits would alias under packing (range gate, same
+                # discipline as the dedup verify upload), so those
+                # flushes take the full-width path and stay bit-exact.
+                packed = hasattr(
+                    self.inner, "batch_hash_single_packed"
+                ) and all(int(s.max(initial=0)) >> 16 == 0 for s in stacked)
+                if packed:
+                    from cuzk_tpu.field import fr
+
+                    stacked = [fr.pack16(s) for s in stacked]
                 if kind == "single":
-                    out = self.inner.batch_hash_single(jnp.asarray(stacked[0]))
+                    fn = (
+                        self.inner.batch_hash_single_packed
+                        if packed
+                        else self.inner.batch_hash_single
+                    )
+                    out = fn(jnp.asarray(stacked[0]))
                 elif kind == "pairs":
-                    out = self.inner.batch_hash_pairs(
-                        jnp.asarray(stacked[0]), jnp.asarray(stacked[1])
+                    fn = (
+                        self.inner.batch_hash_pairs_packed
+                        if packed
+                        else self.inner.batch_hash_pairs
                     )
+                    out = fn(jnp.asarray(stacked[0]), jnp.asarray(stacked[1]))
                 else:
-                    out = self.inner.batch_hash_multiple(
-                        jnp.asarray(stacked[0])
+                    fn = (
+                        self.inner.batch_hash_multiple_packed
+                        if packed
+                        else self.inner.batch_hash_multiple
                     )
+                    out = fn(jnp.asarray(stacked[0]))
             except BaseException:
                 self._queues[key] = calls  # keep the work; get() can retry
                 raise

@@ -69,6 +69,26 @@ def array_to_ints(a) -> list:
     return [digits_to_int(row) for row in flat]
 
 
+def pack16(a: np.ndarray) -> np.ndarray:
+    """Host pack: ``[.., 16] uint32`` canonical 16-bit digits ->
+    ``[.., 8] uint32`` (two digits per word, little-digit in the low
+    half) — 32 B/element, the information-optimal wire format for
+    256-bit values over the host->device link.  Callers MUST range-check
+    digits < 2^16 first: packing drops high bits, so a non-canonical
+    digit >= 2^16 would silently alias a canonical one (soundness
+    gates in merkle.py route such inputs to the unpacked path)."""
+    a = np.ascontiguousarray(a, np.uint32)
+    return a[..., 0::2] | (a[..., 1::2] << np.uint32(16))
+
+
+def unpack16(p: jnp.ndarray) -> jnp.ndarray:
+    """Device inverse of :func:`pack16`: ``[.., 8] -> [.., 16]`` (traced
+    into the consuming program, so packed wire data unpacks on-device)."""
+    lo = p & jnp.uint32(0xFFFF)
+    hi = p >> jnp.uint32(16)
+    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[:-1] + (NDIGITS,))
+
+
 # Constants as numpy digit vectors (folded into compiled executables).
 P_DIGITS = int_to_digits(oracle.P)
 P2_DIGITS = int_to_digits(2 * oracle.P)

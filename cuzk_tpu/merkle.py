@@ -87,13 +87,20 @@ DEFAULT_TREE_HEIGHT = 20
 
 @dataclass(frozen=True)
 class MerkleConfig:
-    """Runtime-validated tree config (merkle_tree.hpp:17-32)."""
+    """Runtime-validated tree config (merkle_tree.hpp:17-32).
+
+    ``tree_height`` mirrors the reference's field of the same name: a
+    default/advisory height for an empty tree (merkle_tree.hpp:25-31 keeps
+    it but the build derives the real height from the leaf count; so does
+    :meth:`NaryMerkleTree.get_tree_height` here)."""
 
     arity: int = 2
+    tree_height: int = DEFAULT_TREE_HEIGHT
 
     def __post_init__(self):
         # ValidationError subclasses ValueError, matching the reference's
-        # MerkleTreeConfig validation contract (merkle_tree.hpp:24-31).
+        # MerkleTreeConfig validation contract (merkle_tree.hpp:24-31),
+        # which validates arity only.
         errors.validate_range(self.arity, MIN_ARITY, MAX_ARITY, "arity")
 
 
@@ -117,6 +124,15 @@ def tree_height(leaf_count: int, arity: int) -> int:
     """Levels incl. leaves; exact integer arithmetic (vs the reference's FP
     logs, merkle_tree.cpp:359-367 — SURVEY.md Appendix B.9)."""
     return oracle.tree_height(leaf_count, arity)
+
+
+def calculate_max_leaves(height: int, arity: int) -> int:
+    """Max leaf capacity of a tree of ``height`` levels: ``arity**(height-1)``
+    (merkle_tree.cpp:369-372, exact integers instead of std::pow)."""
+    errors.validate_range(arity, MIN_ARITY, MAX_ARITY, "arity")
+    if height < 1:
+        raise errors.ValidationError(f"height must be >= 1, got {height}")
+    return arity ** (height - 1)
 
 
 def _build_levels(padded_leaves: jnp.ndarray, arity: int):
@@ -234,9 +250,17 @@ def generate_proofs(
         raise IndexError("empty tree")
     leaf_indices = jnp.atleast_1d(jnp.asarray(leaf_indices, jnp.int32))
     n = int(levels[0].shape[0])
-    for i in np.asarray(leaf_indices):
-        # IndexError_ subclasses IndexError (error_handling.hpp:43-49).
-        errors.validate_index(int(i), n, "leaf index")
+    # Vectorized range check (one min/max over the whole batch — a Python
+    # per-index loop costs seconds at 1M proofs); on failure re-raise via
+    # validate_index with the first offending index, preserving the
+    # reference's IndexError contract (error_handling.hpp:43-49).
+    idx_np = np.asarray(leaf_indices)
+    if idx_np.size:
+        lo = int(idx_np.min())
+        hi = int(idx_np.max())
+        if lo < 0 or hi >= n:
+            bad = idx_np[(idx_np < 0) | (idx_np >= n)]
+            errors.validate_index(int(bad[0]), n, "leaf index")
     if len(levels) == 1:
         k = leaf_indices.shape[0]
         return (
@@ -491,21 +515,10 @@ def _dedup_schedule(positions: np.ndarray, siblings: np.ndarray):
     return levels, leaf_src
 
 
-def _pack16_host(a: np.ndarray) -> np.ndarray:
-    """``[.., 16] uint32`` canonical 16-bit digits -> ``[.., 8] uint32``
-    (two digits per word, little-digit in the low half).  Callers MUST
-    range-check digits < 2^16 first: packing drops high bits, and a
-    malicious proof digit >= 2^16 aliasing a valid one would break
-    soundness (the range gate forces those batches to the exact path)."""
-    a = np.ascontiguousarray(a, np.uint32)
-    return a[..., 0::2] | (a[..., 1::2] << np.uint32(16))
-
-
-def _unpack16(p: jnp.ndarray) -> jnp.ndarray:
-    """Device inverse of :func:`_pack16_host`: ``[.., 8] -> [.., 16]``."""
-    lo = p & jnp.uint32(0xFFFF)
-    hi = p >> jnp.uint32(16)
-    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[:-1] + (16,))
+# Packed 16-bit wire format, shared with the hash path (fr.pack16 docs
+# the soundness contract: digits MUST be range-checked < 2^16 first).
+_pack16_host = fr.pack16
+_unpack16 = fr.unpack16
 
 
 def _dedup_verify_levels(arity, sizes, check_sizes, kb, packed):
@@ -567,12 +580,15 @@ def _dedup_verify_levels(arity, sizes, check_sizes, kb, packed):
 _dedup_verify_fused = jax.jit(_dedup_verify_levels, static_argnums=(0, 1, 2, 3))
 
 
-def _verify_all_deduped(positions, siblings, leaves, root, arity):
-    """Deduped all-or-nothing verify.  Returns True/False, or None when a
-    merge check failed and the exact per-proof path must decide."""
+def _dedup_pack(positions, siblings, leaves_np, root_np, arity):
+    """Host phase of the deduped verify: range gates, schedule build, and
+    single-buffer packing.  Returns ``(sizes, check_sizes, kb, packed_np)``
+    with ``packed_np`` the host uint32 buffer (layout documented on
+    :func:`_dedup_verify_levels`), or ``None`` when the dedup path cannot
+    soundly decide and the exact per-proof path must.  Split out so the
+    benchmark can time host-schedule / upload / device-dispatch phases
+    separately (``bench_batch_verify_resident``)."""
     k = positions.shape[0]
-    leaves_np = np.asarray(leaves, np.uint32)
-    root_np = np.asarray(root, np.uint32)
     # Range gates — cheap host checks BEFORE the schedule build, because a
     # tripped gate discards everything built after it:
     #  - positions must lie in [0, arity): the suffix-key packing uses 8
@@ -614,7 +630,19 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
             parts.append(schedule[L + 1][3].astype(np.uint32))
     for lvl in schedule:
         parts.append(_pack16_host(lvl[2]).ravel())
-    packed = jnp.asarray(np.concatenate(parts))
+    return sizes, check_sizes, kb, np.concatenate(parts)
+
+
+def _verify_all_deduped(positions, siblings, leaves, root, arity):
+    """Deduped all-or-nothing verify.  Returns True/False, or None when a
+    merge check failed and the exact per-proof path must decide."""
+    leaves_np = np.asarray(leaves, np.uint32)
+    root_np = np.asarray(root, np.uint32)
+    packed_sched = _dedup_pack(positions, siblings, leaves_np, root_np, arity)
+    if packed_sched is None:
+        return None
+    sizes, check_sizes, kb, packed_np = packed_sched
+    packed = jnp.asarray(packed_np)
     # One fused dispatch on TPU; host-driven on CPU backends, where the
     # fused program's XLA:CPU compile is disproportionate (docs/PERF.md)
     # and the small per-level executables are shared.
@@ -693,6 +721,14 @@ def update_tree_levels(levels, arity: int, indices, values):
     idx_np = np.atleast_1d(np.asarray(indices, np.int64))
     if len(np.unique(idx_np)) != len(idx_np):
         raise errors.ValidationError("update indices must be unique")
+    # Range-check here, not only in NaryMerkleTree.update_leaves: JAX
+    # silently drops out-of-bounds scatter indices and clamps gathers, so
+    # without this a direct caller would get a silently partial update.
+    if idx_np.size and not (
+        0 <= int(idx_np.min()) and int(idx_np.max()) < int(levels[0].shape[0])
+    ):
+        bad = idx_np[(idx_np < 0) | (idx_np >= int(levels[0].shape[0]))]
+        errors.validate_index(int(bad[0]), int(levels[0].shape[0]), "leaf index")
     vals_np = np.atleast_2d(np.asarray(values, np.uint32))
     k = idx_np.shape[0]
     if vals_np.shape != (k, fr.NDIGITS):
@@ -844,6 +880,56 @@ def validate_proof_structure(positions, siblings, arity: int) -> bool:
     if siblings.shape[1] != arity - 1 or siblings.shape[2] != fr.NDIGITS:
         return False
     return bool(np.all((positions >= 0) & (positions < arity)))
+
+
+def benchmark_tree(
+    leaf_count: int, arity: int, num_proofs: int = 100, seed: int = 42
+):
+    """Build + proof-generation + verification timings in one
+    :class:`~cuzk_tpu.utils.stats.TreeBenchmarkResult`
+    (MerkleUtils::benchmark_tree, merkle_tree.cpp:399-440).
+
+    The reference times ``num_proofs`` sequential ``generate_proof`` calls
+    and ``num_proofs`` repeats of one ``verify_proof``; here both phases
+    are the batched APIs (``generate_batch_proofs`` over ``num_proofs``
+    random indices, ``verify_batch_proofs`` of those proofs) — the
+    TPU-native equivalents a caller would actually use.  Deterministic
+    indices (seeded) instead of the reference's random_device, so results
+    are reproducible."""
+    import time as _time
+
+    from cuzk_tpu.utils.stats import TreeBenchmarkResult
+
+    leaves = jnp.asarray(generate_test_leaves(leaf_count, seed))
+
+    start = _time.perf_counter()
+    tree = NaryMerkleTree(leaves, MerkleConfig(arity))
+    jax.block_until_ready(tree.levels[-1])
+    build_ms = (_time.perf_counter() - start) * 1e3
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, leaf_count, num_proofs)
+    start = _time.perf_counter()
+    pos, sib = tree.generate_batch_proofs(idx)
+    jax.block_until_ready(sib)
+    proof_ms = (_time.perf_counter() - start) * 1e3
+
+    proved = tree.levels[0][jnp.asarray(idx)]
+    root = tree.get_root_hash()
+    start = _time.perf_counter()
+    ok = verify_all(pos, sib, proved, root, arity)
+    verify_ms = (_time.perf_counter() - start) * 1e3
+    if not ok:
+        raise errors.ComputationError("benchmark_tree: proofs failed to verify")
+
+    return TreeBenchmarkResult(
+        leaf_count=leaf_count,
+        arity=arity,
+        tree_height=tree.get_tree_height(),
+        build_time_ms=round(build_ms, 3),
+        proof_time_ms=round(proof_ms, 3),
+        verify_time_ms=round(verify_ms, 3),
+    )
 
 
 def compare_trees(a: "NaryMerkleTree", b: "NaryMerkleTree") -> bool:

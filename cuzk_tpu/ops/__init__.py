@@ -11,6 +11,9 @@ from cuzk_tpu.ops.poseidon_pallas import (
     hash_single_pallas,
     hash_pair_pallas,
     hash_multiple_pallas,
+    hash_single_pallas_packed,
+    hash_pair_pallas_packed,
+    hash_multiple_pallas_packed,
     permutation_pallas,
     verify_proofs_pallas,
 )
@@ -20,6 +23,9 @@ __all__ = [
     "hash_single_pallas",
     "hash_pair_pallas",
     "hash_multiple_pallas",
+    "hash_single_pallas_packed",
+    "hash_pair_pallas_packed",
+    "hash_multiple_pallas_packed",
     "permutation_pallas",
     "verify_proofs_pallas",
 ]

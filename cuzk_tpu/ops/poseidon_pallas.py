@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuzk_tpu import oracle
+from cuzk_tpu.field import fr
 from cuzk_tpu.ops import fieldslab as fs
 
 import os
@@ -632,6 +633,84 @@ def hash_pair_pallas(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
 def hash_multiple_pallas(inputs: jnp.ndarray) -> jnp.ndarray:
     """Batched n-input hash, ds=3 (poseidon.cpp:98-101): [B,n,16]->[B,16]."""
     return _sponge_pallas(inputs, oracle.DS_MULTIPLE)
+
+
+# ---------------------------------------------------------------------------
+# Packed-wire variants: inputs arrive as [.., 8] uint32 (two 16-bit digits
+# per word, fr.pack16 — 32 B/element, half the raw digit bytes) and unpack
+# ON DEVICE inside the same single dispatch.  For host-resident operands on
+# a tunneled backend the H2D upload is the cost that scales with batch size
+# (5-330 MB/s weather, docs/PERF.md), so halving wire bytes halves the
+# upload term of every flush; the unpack itself fuses into the chain
+# program (a few VPU ops against HBM bandwidth, unmeasurable).  The Mosaic
+# kernel inside is byte-identical to the unpacked chains' (same tile
+# shapes), so packed chains reuse the per-bucket kernel cache and add only
+# cheap XLA-level compiles.  SOUNDNESS: callers must range-check digits
+# < 2^16 before packing (fr.pack16 docstring); the coalescing engine gates
+# and falls back to the unpacked path.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _single_chain_packed(xp: jnp.ndarray, scalars: jnp.ndarray):
+    return _sponge_chain(fr.unpack16(xp)[:, None, :], scalars)
+
+
+@jax.jit
+def _pair_chain_packed(lp: jnp.ndarray, rp: jnp.ndarray, scalars: jnp.ndarray):
+    return _sponge_chain(
+        jnp.stack([fr.unpack16(lp), fr.unpack16(rp)], axis=1), scalars
+    )
+
+
+@jax.jit
+def _multi_chain_packed(xp: jnp.ndarray, scalars: jnp.ndarray):
+    return _sponge_chain(fr.unpack16(xp), scalars)
+
+
+def hash_single_pallas_packed(xp: jnp.ndarray) -> jnp.ndarray:
+    """ds=1 hash of PACKED ``[B, 8] uint32`` inputs (fr.pack16 wire format);
+    output is standard ``[B, 16]`` digits.  Bit-identical to
+    ``hash_single_pallas(fr.unpack16(xp))``."""
+    xp = jnp.asarray(xp, jnp.uint32)
+    if not _on_tpu():
+        return poseidon_mod().hash_single(fr.unpack16(xp))
+    b = xp.shape[0]
+    bp, active = _bucket_batch(b)
+    if bp != b:
+        xp = jnp.pad(xp, ((0, bp - b), (0, 0)))
+    out = _single_chain_packed(xp, _scalars(active, 1, oracle.DS_SINGLE))
+    return out if bp == b else out[:b]
+
+
+def hash_pair_pallas_packed(lp: jnp.ndarray, rp: jnp.ndarray) -> jnp.ndarray:
+    """ds=2 hash of PACKED ``[B, 8]`` left/right operands."""
+    lp = jnp.asarray(lp, jnp.uint32)
+    rp = jnp.asarray(rp, jnp.uint32)
+    if not _on_tpu():
+        return poseidon_mod().hash_pair(fr.unpack16(lp), fr.unpack16(rp))
+    b = lp.shape[0]
+    bp, active = _bucket_batch(b)
+    if bp != b:
+        lp = jnp.pad(lp, ((0, bp - b), (0, 0)))
+        rp = jnp.pad(rp, ((0, bp - b), (0, 0)))
+    out = _pair_chain_packed(lp, rp, _scalars(active, 2, oracle.DS_PAIR))
+    return out if bp == b else out[:b]
+
+
+def hash_multiple_pallas_packed(xp: jnp.ndarray) -> jnp.ndarray:
+    """ds=3 hash of PACKED ``[B, n, 8]`` groups."""
+    xp = jnp.asarray(xp, jnp.uint32)
+    b, n = xp.shape[0], xp.shape[1]
+    if n == 0:
+        return jnp.zeros((b, ND), jnp.uint32)
+    if not _on_tpu():
+        return poseidon_mod()._sponge_bucketed(fr.unpack16(xp), oracle.DS_MULTIPLE)
+    bp, active = _bucket_batch(b)
+    if bp != b:
+        xp = jnp.pad(xp, ((0, bp - b), (0, 0), (0, 0)))
+    out = _multi_chain_packed(xp, _scalars(active, n, oracle.DS_MULTIPLE))
+    return out if bp == b else out[:b]
 
 
 @jax.jit

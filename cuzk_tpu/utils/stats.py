@@ -29,10 +29,13 @@ class HashingStats:
 
 @dataclass
 class TreeBenchmarkResult:
-    """merkle_tree.hpp:121-128."""
+    """merkle_tree.hpp:121-128 (proof_time_ms = the reference's
+    proof_generation_time_ms; verify_time_ms = proof_verification_time_ms).
+    Filled by :func:`cuzk_tpu.merkle.benchmark_tree`."""
 
     leaf_count: int = 0
     arity: int = 0
+    tree_height: int = 0
     build_time_ms: float = 0.0
     proof_time_ms: float = 0.0
     verify_time_ms: float = 0.0

@@ -44,6 +44,7 @@ def main():
             log(br.tunnel_conditions())
             res = br.bench_batch_verify(5000, 50000, 4, iters=5)
             log(res)
+            log(br.bench_batch_verify_resident(5000, 50000, 4, iters=20))
             for batch, total in ((512, 10_000), (1024, 100_000)):
                 for mode in ("pairs", "single"):
                     log(br.bench_poseidon(batch, total, mode, "pallas", True))

@@ -106,6 +106,51 @@ def test_coalescing_sync_surface_matches_inner():
     )
 
 
+def test_packed_ops_match_unpacked():
+    # fr.pack16/unpack16 round-trip + packed hash entry points bit-match
+    # the unpacked ones over random canonical inputs (all widths).
+    from cuzk_tpu import ops
+
+    x = _digits(9)
+    xp = fr.pack16(x)
+    assert xp.shape == (9, 8)
+    np.testing.assert_array_equal(np.asarray(fr.unpack16(xp)), x)
+    np.testing.assert_array_equal(
+        np.asarray(ops.hash_single_pallas_packed(xp)),
+        np.asarray(ops.hash_single_pallas(x)),
+    )
+    l, r = _digits(5), _digits(5)
+    np.testing.assert_array_equal(
+        np.asarray(ops.hash_pair_pallas_packed(fr.pack16(l), fr.pack16(r))),
+        np.asarray(ops.hash_pair_pallas(l, r)),
+    )
+    for w in (0, 2, 5):
+        g = _digits(4, w)
+        np.testing.assert_array_equal(
+            np.asarray(ops.hash_multiple_pallas_packed(fr.pack16(g))),
+            np.asarray(ops.hash_multiple_pallas(g)),
+        )
+
+
+def test_coalescing_packed_gate_non_canonical_digits():
+    # A flush with a digit >= 2^16 must take the full-width path (packing
+    # would alias d and d + 2^16) and still produce bit-exact results.
+    inner = engine.PallasPoseidonEngine()
+    ce = engine.CoalescingPoseidonEngine(inner=engine.PallasPoseidonEngine())
+    x = _digits(4)
+    x[2, 3] = (1 << 16) + 7  # non-canonical digit
+    d = ce.async_hash_single(x)
+    np.testing.assert_array_equal(
+        np.asarray(d.get()), np.asarray(inner.batch_hash_single(x))
+    )
+    # Canonical flush engages the packed path and agrees too.
+    y = _digits(6)
+    d2 = ce.async_hash_single(y)
+    np.testing.assert_array_equal(
+        np.asarray(d2.get()), np.asarray(inner.batch_hash_single(y))
+    )
+
+
 def test_coalescing_get_before_and_after_flush():
     ce = engine.CoalescingPoseidonEngine(inner=engine.JnpPoseidonEngine())
     x = _digits(4)

@@ -153,6 +153,66 @@ def test_optimal_arity_heuristic():
     assert merkle.optimal_arity(1_000_000) == 8
 
 
+def test_calculate_max_leaves():
+    # arity**(height-1), exact integers (merkle_tree.cpp:369-372).
+    assert merkle.calculate_max_leaves(1, 2) == 1
+    assert merkle.calculate_max_leaves(4, 2) == 8
+    assert merkle.calculate_max_leaves(7, 8) == 8**6
+    # Inverse relationship with tree_height: a full tree of max_leaves
+    # has exactly that height.
+    for arity in (2, 3, 8):
+        for h in (1, 2, 5):
+            n = merkle.calculate_max_leaves(h, arity)
+            assert merkle.tree_height(n, arity) == h
+    with pytest.raises(ValueError):
+        merkle.calculate_max_leaves(0, 2)
+    with pytest.raises(ValueError):
+        merkle.calculate_max_leaves(3, 9)
+
+
+def test_config_tree_height_field():
+    # merkle_tree.hpp:25-31: the field exists with default 20 and is
+    # advisory — the built tree's height comes from the leaf count.
+    cfg = merkle.MerkleConfig(arity=4)
+    assert cfg.tree_height == merkle.DEFAULT_TREE_HEIGHT == 20
+    cfg = merkle.MerkleConfig(arity=4, tree_height=3)
+    tree = merkle.NaryMerkleTree(leaves_arr([1, 2, 3, 4, 5]), cfg)
+    assert tree.config.tree_height == 3
+    assert tree.get_tree_height() == merkle.tree_height(5, 4)
+
+
+def test_generate_proofs_vectorized_index_validation():
+    # The range check is one numpy min/max, but the error contract is
+    # unchanged: first offending index reported, IndexError subclass.
+    tree = merkle.NaryMerkleTree(leaves_arr([1, 2, 3, 4]))
+    with pytest.raises(IndexError, match="99"):
+        tree.generate_batch_proofs([0, 99, 1])
+    with pytest.raises(IndexError, match="-1"):
+        tree.generate_batch_proofs([-1, 2])
+    pos, sib = tree.generate_batch_proofs(np.zeros(0, np.int64))
+    assert pos.shape[0] == 0
+
+
+def test_update_tree_levels_range_check():
+    # Module-level API must fail loudly on OOB indices (JAX would silently
+    # drop the scatter): round-3 advisor finding.
+    tree = merkle.NaryMerkleTree(leaves_arr([1, 2, 3, 4]))
+    vals = leaves_arr([7])
+    with pytest.raises(IndexError, match="4"):
+        merkle.update_tree_levels(tree.levels, 2, [4], vals)
+    with pytest.raises(IndexError, match="-2"):
+        merkle.update_tree_levels(tree.levels, 2, [-2], vals)
+
+
+def test_benchmark_tree_fills_result():
+    r = merkle.benchmark_tree(64, 4, num_proofs=8)
+    assert r.leaf_count == 64 and r.arity == 4
+    assert r.tree_height == merkle.tree_height(64, 4) == 4
+    assert r.build_time_ms > 0
+    assert r.proof_time_ms > 0
+    assert r.verify_time_ms > 0
+
+
 def test_generate_test_leaves_matches_mt19937():
     got = merkle.generate_test_leaves(4, seed=42)
     want = oracle.generate_test_leaves(4, seed=42)
