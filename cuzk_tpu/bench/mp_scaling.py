@@ -67,6 +67,20 @@ def worker(argv) -> None:
     assert len(jax.devices()) == d, jax.devices()
     mesh = distributed.make_mesh()
 
+    if nproc > 1:
+        # Tiny collective barrier FIRST: establishes the cross-process Gloo
+        # context while the workers are seconds apart.  Without it the
+        # first collective is the full gather program, and on a 1-core
+        # host the compile skew between workers can exceed Gloo's 30 s
+        # rendezvous window (observed: GetKeyValue DEADLINE_EXCEEDED).
+        tiny = distributed.shard_batch(
+            np.zeros((d, fr.NDIGITS), np.uint32), mesh
+        )
+        np.asarray(
+            distributed._gather_fn(mesh, distributed.DATA_AXIS)(tiny)
+            .addressable_data(0)
+        )
+
     # Same host value in every process (shard_batch contract).
     rng = np.random.default_rng(17)
     leaves = rng.integers(
