@@ -129,9 +129,23 @@ def run_job(
     nproc: int, ldc: int, leaves_per_device: int, arity: int, iters: int,
     timeout_s: int = 1800,
 ):
+    import tempfile
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device count
+    # Each worker writes to its own temp file, NOT a pipe: with pipes, a
+    # worker whose (merged) logging exceeds the ~64 KB pipe buffer blocks
+    # mid-collective while the launcher sequentially communicate()s with
+    # an earlier worker — deadlocking the whole job until the timeout.
+    logs = [
+        tempfile.NamedTemporaryFile(
+            "w+", suffix=f".mp{i}.log", delete=False
+        )
+        for i in range(nproc)
+    ]
     procs = [
         subprocess.Popen(
             [
@@ -140,21 +154,29 @@ def run_job(
                 str(leaves_per_device), str(arity), str(iters),
             ],
             env=env,
-            stdout=subprocess.PIPE,
+            stdout=logs[i],
             stderr=subprocess.STDOUT,
-            text=True,
         )
         for i in range(nproc)
     ]
-    outs = []
+    deadline = time.monotonic() + timeout_s
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=timeout_s)
-            outs.append(out)
+            p.wait(timeout=max(1.0, deadline - time.monotonic()))
     except subprocess.TimeoutExpired:
         for p in procs:
-            p.kill()
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            p.wait()  # reap — no zombies
         raise
+    outs = []
+    for f in logs:
+        f.flush()
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
+        os.unlink(f.name)
     for i, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
             raise RuntimeError(f"worker {i} failed:\n{out}")
@@ -175,7 +197,10 @@ def main() -> None:
     ap.add_argument("--procs", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--devices-per-proc", type=int, default=2)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--out", default=None, help="write/merge JSON artifact")
+    ap.add_argument(
+        "--out", default=None,
+        help="write the JSON artifact to this path (overwrites)",
+    )
     args = ap.parse_args()
 
     rows = []

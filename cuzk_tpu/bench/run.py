@@ -879,6 +879,11 @@ def _print_summary(results: List[Dict]) -> None:
             rows.append((s, cfg, f"{r['verify_ms']} ms",
                          f"{r['proofs_per_s']:,.0f} proofs/s",
                          r.get("vs_baseline")))
+        elif s == "benchmark_tree":
+            cfg = f"{r['leaf_count']} leaves a={r['arity']} h={r['tree_height']}"
+            rows.append((s, cfg, f"{r['build_time_ms']} ms build",
+                         f"+{r['proof_time_ms']} ms gen +{r['verify_time_ms']} ms verify",
+                         None))
         elif s == "proof_generation":
             cfg = f"{r['proofs']} proofs a={r['arity']}"
             rows.append((s, cfg, f"{r['gen_ms']} ms",
@@ -925,8 +930,8 @@ def main() -> None:
         "--suite",
         default="all",
         choices=[
-            "all", "poseidon", "merkle", "proofs", "scaling", "sweep",
-            "verify", "compare", "updates",
+            "all", "poseidon", "merkle", "proofs", "trees", "scaling",
+            "sweep", "verify", "compare", "updates",
         ],
     )
     parser.add_argument(
@@ -1027,6 +1032,9 @@ def main() -> None:
             )
             results.append(res)
             print(json.dumps(res))
+
+    if args.suite == "trees":
+        results.extend(bench_tree_matrix())
 
     if args.suite == "compare":
         res = bench_merkle_compare(args.leaves, args.arity)

@@ -219,10 +219,6 @@ class CoalescingPoseidonEngine(PoseidonEngine):
         self._pending = 0
 
     # -- async surface ----------------------------------------------------
-    # NOTE: async_hash_* may raise: when the enqueue crosses flush_elems it
-    # triggers an inline flush, and a dispatch failure propagates from the
-    # enqueue site.  The queue is restored first (flush() below), so the
-    # returned handle stays valid and get() retries the dispatch.
     def _enqueue(self, key, arrays) -> DeferredHashes:
         import numpy as np
 
@@ -232,7 +228,16 @@ class CoalescingPoseidonEngine(PoseidonEngine):
         )
         self._pending += int(arrays[0].shape[0])
         if self._pending >= self.flush_elems:
-            self.flush()
+            # The threshold flush is an optimization, so a dispatch
+            # failure here is DEFERRED: raising from the enqueue site
+            # would lose the caller's handle before they ever receive it
+            # (the queue keeps the work, but nobody could get() it).
+            # flush() restored the queue, so a persistent failure
+            # surfaces at the caller's explicit flush()/get() instead.
+            try:
+                self.flush()
+            except Exception:
+                pass
         return d
 
     def async_hash_single(self, x) -> DeferredHashes:

@@ -911,23 +911,40 @@ def benchmark_tree(
     random indices, ``verify_batch_proofs`` of those proofs) — the
     TPU-native equivalents a caller would actually use.  Deterministic
     indices (seeded) instead of the reference's random_device, so results
-    are reproducible."""
+    are reproducible.  Timing follows the project discipline (bench/run.py
+    ``time_fn``): one un-timed warm-up of each phase first (compiles —
+    minutes per Mosaic executable over a tunneled TPU — must not land in
+    the reported numbers), completion forced by a tiny readback
+    (``block_until_ready`` does not reliably wait on tunneled backends)."""
     import time as _time
 
     from cuzk_tpu.utils.stats import TreeBenchmarkResult
 
     leaves = jnp.asarray(generate_test_leaves(leaf_count, seed))
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, leaf_count, num_proofs)
+
+    def drain(arr):
+        np.asarray(arr[(0,) * arr.ndim])
+
+    # Warm-up: compile every executable the timed phases will run.
+    tree = NaryMerkleTree(leaves, MerkleConfig(arity))
+    drain(tree.levels[-1])
+    wpos, wsib = tree.generate_batch_proofs(idx)
+    drain(wsib)
+    verify_all(
+        wpos, wsib, tree.levels[0][jnp.asarray(idx)],
+        tree.get_root_hash(), arity,
+    )
 
     start = _time.perf_counter()
     tree = NaryMerkleTree(leaves, MerkleConfig(arity))
-    jax.block_until_ready(tree.levels[-1])
+    drain(tree.levels[-1])
     build_ms = (_time.perf_counter() - start) * 1e3
 
-    rng = np.random.default_rng(seed)
-    idx = rng.integers(0, leaf_count, num_proofs)
     start = _time.perf_counter()
     pos, sib = tree.generate_batch_proofs(idx)
-    jax.block_until_ready(sib)
+    drain(sib)
     proof_ms = (_time.perf_counter() - start) * 1e3
 
     proved = tree.levels[0][jnp.asarray(idx)]

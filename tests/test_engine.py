@@ -206,6 +206,20 @@ def test_coalescing_flush_failure_restores_queue():
     assert not ce._queues
 
 
+def test_coalescing_threshold_flush_failure_is_deferred():
+    """A dispatch failure during the threshold-triggered flush must NOT
+    escape async_hash_* (the caller would lose the handle before ever
+    receiving it); it surfaces at an explicit flush()/get() instead."""
+    flaky = _FlakyEngine()
+    ce = engine.CoalescingPoseidonEngine(inner=flaky, flush_elems=2)
+    x = _digits(3)  # crosses the threshold -> inline flush fails silently
+    d = ce.async_hash_single(x)
+    assert ce._queues  # work retained
+    got = np.asarray(d.get())  # retry on get() succeeds
+    want = np.asarray(engine.JnpPoseidonEngine().batch_hash_single(x))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_coalescing_stats_and_empty_flush():
     ce = engine.CoalescingPoseidonEngine(inner=engine.JnpPoseidonEngine())
     ce.flush()  # empty: no-op
