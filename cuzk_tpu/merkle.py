@@ -435,51 +435,81 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([a, reps], axis=0)
 
 
-def _dedup_schedule(positions: np.ndarray, siblings: np.ndarray):
+def _dedup_schedule(
+    positions: np.ndarray, siblings: np.ndarray, leaves: np.ndarray
+):
     """Host-side merge schedule (pure numpy — needs no hash values).
 
-    Returns per-level tuples ``(ent_idx, pos, sibs, check_src)`` where
-    ``ent_idx`` gathers each job's entering value (from the padded leaf
-    array at level 0, from the previous level's outputs above) and
-    ``check_src[j]`` says which previous-level output job ``j`` must equal
-    (its parent's chosen entering value — the merge consistency check).
+    Level 0 is CONTENT-keyed: each job is a unique reconstructed leaf
+    group ``insert(leaf, pos, row)`` (computable on the host because leaf
+    values are given).  This merges the up-to-``arity`` proofs of one
+    group into ONE hash job — a suffix key cannot (each member has a
+    different ``(pos, row)``), and for dense batches level 0 is most of
+    the work (5K-proof reference config: 5000 suffix jobs -> 1250 content
+    jobs).  Levels >= 1 stay SUFFIX-keyed (entering values are unknown on
+    the host): two proofs share a level-L job only when
+    (positions[:, L:], siblings[:, L:]) are byte-identical.
 
-    Grouping is EXACT: two proofs land in one level-L group only when
-    their suffixes (positions[:, L:], siblings[:, L:]) are byte-identical.
-    The row hash is used purely to bucket sibling rows; every bucket is
-    then confirmed by exact comparison against its representative, and
-    suffix identity is propagated root-down with exact integer packings.
-    If confirmation ever fails (a host-hash collision — adversarial or
-    astronomically unlucky), returns ``None`` and the caller must decide
-    via the exact per-proof path: dedup can never silently merge proofs
-    whose data differs.
+    Grouping is EXACT everywhere: the row hash only buckets; every bucket
+    is confirmed byte-identical against its representative, and suffix
+    identity propagates root-down with exact integer packings.  Any
+    confirmation failure returns ``None`` and the caller must decide via
+    the exact per-proof path: dedup can never silently merge proofs whose
+    data differs.
+
+    Returns ``(content, j0, upper, m1)``:
+      - ``content``: bucketed ``[n0b, arity, 16]`` unique level-0 groups;
+      - ``j0[i]``: proof i's content-job id (< n0, unbucketed);
+      - ``upper[L-1]`` for L = 1..h-1: ``(ent_idx, pos, sibs, checks)``
+        bucketed job arrays; ``ent_idx`` indexes the previous level's
+        outputs (level-0 job ids for L=1); ``checks`` (present for
+        L >= 2, length n_{L-1} bucketed) holds for each level-L-1 job the
+        L-1-job index whose output its parent actually used — suffix jobs
+        have a unique parent, so one check per job covers every edge;
+      - ``m1[i]``: proof i's level-1 job id (``None`` when h == 1).  A
+        level-0 content job can feed MANY level-1 parents (members'
+        upper paths may differ), so level 0's edges are checked
+        per-proof on device: ``out0[j0[i]] == out0[ent_idx1[m1[i]]]``.
     """
     k, h = positions.shape
+    arity = siblings.shape[2] + 1
     sib_flat = np.ascontiguousarray(siblings).reshape(k, h, -1)
     # u64 view of the same bytes: row confirmations gather/compare 8x
     # fewer elements (row width (a-1)*64 bytes is always a multiple of 8).
     sib_u64 = sib_flat.view(np.uint8).reshape(k, h, -1).view("<u8")
 
-    # Per-level sibling-row hashes in one pass ([k, h] uint64).
-    sib_keys = _row_hash_u64(
-        sib_flat.reshape(k * h, -1).view(np.uint8)
-    ).reshape(k, h)
+    # ---- Level 0: unique reconstructed groups (content-keyed) ----------
+    pos0 = positions[:, 0]
+    content = np.empty((k, arity, fr.NDIGITS), np.uint32)
+    j = np.arange(arity - 1)
+    col = j[None, :] + (j[None, :] >= pos0[:, None])  # sibling j's column
+    content[np.arange(k)[:, None], col] = siblings[:, 0]
+    content[np.arange(k), pos0] = leaves[:k]
+    cflat = content.reshape(k, -1)
+    c_u64 = cflat.view(np.uint8).reshape(k, -1).view("<u8")
+    cfirst, j0 = _unique_keys(_row_hash_u64(cflat.view(np.uint8)))
+    if not np.array_equal(c_u64, c_u64[cfirst[j0]]):
+        return None  # host-hash collision: only the exact path decides
+    content_b = _pad_rows(content[cfirst], _job_bucket(len(cfirst)))
 
-    # Suffix group ids, root-down: gid_L identifies (positions[:, L:],
-    # siblings[:, L:]) exactly; the level-h suffix is empty, i.e. shared
-    # by every proof.
+    if h == 1:
+        return content_b, j0, [], None
+
+    # ---- Levels >= 1: suffix group ids, root-down ----------------------
+    # Per-level sibling-row hashes in one pass ([k, h-1] uint64).
+    sib_keys = _row_hash_u64(
+        sib_flat[:, 1:].reshape(k * (h - 1), -1).view(np.uint8)
+    ).reshape(k, h - 1)
     gid = np.zeros(k, np.int64)
     reps: List[np.ndarray] = [None] * h
     keys: List[np.ndarray] = [None] * h
-    for L in range(h - 1, -1, -1):
-        # Row-equality ids for level L's sibling rows: bucket by hash,
-        # then CONFIRM byte equality against each bucket's representative.
-        # After confirmation, rid equality <=> row equality exactly (equal
-        # rows always hash equal, so they share a bucket; unequal rows in
-        # one bucket are caught here).
-        rfirst, rid = _unique_keys(sib_keys[:, L])
+    for L in range(h - 1, 0, -1):
+        # Row-equality ids: bucket by hash, then CONFIRM byte equality
+        # against each bucket's representative — after confirmation, rid
+        # equality <=> row equality exactly.
+        rfirst, rid = _unique_keys(sib_keys[:, L - 1])
         if not np.array_equal(sib_u64[:, L], sib_u64[rfirst[rid], L]):
-            return None  # host-hash collision: only the exact path decides
+            return None
         # suffix_L = (suffix_{L+1}, row_L, pos_L) — exact u64 packings of
         # inverse indices (gid/rid < k) and pos (< arity <= 8, gated to 8
         # bits by the caller).  One unique over the packed triple when it
@@ -504,31 +534,30 @@ def _dedup_schedule(positions: np.ndarray, siblings: np.ndarray):
             )
         gid = keys[L].astype(np.int64)
 
-    levels = []
-    for L in range(h):
+    keys[0] = j0  # level-0 job id per proof (content-keyed)
+    upper = []
+    for L in range(1, h):
         r = reps[L]
         ub = _job_bucket(len(r))
-        if L == 0:
-            ent_idx = r  # gathers from the padded leaf array
-        else:
-            # Entering value = output of the rep proof's level-L-1 job.
-            ent_idx = keys[L - 1][r]
+        # Entering value = output of the rep proof's level-L-1 job.
+        ent_idx = _pad_rows(keys[L - 1][r].reshape(-1, 1), ub).ravel()
         pos = _pad_rows(positions[r, L], ub)
         sibs = _pad_rows(siblings[r, L], ub)
-        ent_idx = _pad_rows(ent_idx.reshape(-1, 1), ub).ravel()
-        # Merge check over the PREVIOUS level's outputs: each level-L-1 job
-        # must equal the entering value its parent actually used.  Padded
-        # jobs are copies of job 0, so src 0 keeps their checks true.
-        check_src = np.zeros(0, np.int32)
-        if L > 0:
+        # Merge check over the previous level's outputs (levels >= 1 only:
+        # a suffix job's defining suffix fixes its whole upper path, so it
+        # has exactly ONE parent and one check per job covers every edge;
+        # level-0 content jobs can have many parents — checked per-proof
+        # by the caller via m1).  Padded jobs are copies of job 0, so
+        # src 0 keeps their checks true.
+        checks = np.zeros(0, np.int32)
+        if L > 1:
             parent = keys[L][reps[L - 1]]  # level-L job of each L-1 job
-            check_src = _pad_rows(
+            checks = _pad_rows(
                 ent_idx[parent].reshape(-1, 1), _job_bucket(len(parent))
             ).ravel()
-        levels.append((ent_idx, pos, sibs, check_src))
+        upper.append((ent_idx, pos, sibs, checks))
 
-    leaf_src = reps[0][keys[0]]  # proofs sharing a full suffix share a leaf
-    return levels, leaf_src
+    return content_b, j0, upper, keys[1]
 
 
 # Packed 16-bit wire format, shared with the hash path (fr.pack16 docs
@@ -537,69 +566,111 @@ _pack16_host = fr.pack16
 _unpack16 = fr.unpack16
 
 
-def _dedup_verify_levels(arity, sizes, check_sizes, kb, packed):
-    """Device program: one hash per unique suffix node, level by level, with
-    the merge-consistency checks accumulated into one scalar.
+def _dedup_verify_levels(arity, sizes, kb, packed):
+    """Device program: one hash per unique tree node touched, level by
+    level, with the merge-consistency checks accumulated into one scalar.
 
     The whole schedule arrives as ONE flat uint32 vector ``packed`` —
-    ``[leaves_p (kb x 8) | root (8) | idx section | sibling rows (n x
-    (a-1) x 8)]`` with all digit data 16-bit-packed two-per-word
-    (:func:`_pack16_host`; the host range-gates digits first) and the idx
-    section ``[leaf_src(kb) | per level L: ent_idx(n_L) pos(n_L)
-    checks(c_{L+1})]`` (each level's checks interleaved right after its
-    ent_idx/pos; the last level has no checks), sliced here by the static
-    ``sizes``/``check_sizes``.  One upload + one fused dispatch + one tiny
-    readback, at half the raw bytes: on the tunneled TPU each dependent
-    host<->device hop costs ~3-33 ms and upload bandwidth swings 7-330
-    MB/s, so the round-2 4-upload unpacked layout paid more in transfer
-    than the whole dedup saved in hashing (measured 95 ms end-to-end).
+    ``[leaves_p (kb x 8) | root (8) | idx section | content groups
+    (n0 x arity x 8) | sibling rows (sum n_L x (arity-1) x 8, L >= 1)]``
+    with all digit data 16-bit-packed two-per-word (:func:`_pack16_host`;
+    the host range-gates digits first).  The idx section is
+    ``[j0 (kb) | pos0 (kb) | m1 (kb, h > 1 only) | per level L >= 1:
+    ent_idx(n_L) pos(n_L) | per level L >= 2: checks(n_{L-1})]``, sliced
+    here by the static ``sizes`` (n0 = content jobs, then suffix-job
+    counts).  One upload + one fused dispatch + one tiny readback: on the
+    tunneled TPU each dependent host<->device hop costs ~3-33 ms and
+    upload bandwidth swings 5-330 MB/s, so both the byte count and the
+    dispatch count are minimized.
+
+    Checks (all must pass or the caller falls back to the exact path):
+      - leaf binding: every proof's claimed leaf equals the value at its
+        position inside its content job (content[j0[i], pos0[i]]);
+      - level-0 edges (h > 1): out0[j0[i]] == out0[ent_idx1[m1[i]]] —
+        a content job can feed many level-1 parents, so edges are
+        per-proof;
+      - levels >= 1: each level-L job's output equals the entering value
+        its (unique) parent used;
+      - root: every last-level output equals the root.
     Returns ``[checks_ok, roots_ok] bool``."""
     nd = fr.NDIGITS
     hw = nd // 2  # packed words per element
-    total_n = sum(sizes)
-    idx_len = kb + sum(2 * n for n in sizes) + sum(check_sizes[1:])
+    h = len(sizes)
+    n0 = sizes[0]
+    upper_sizes = sizes[1:]
+    total_upper = sum(upper_sizes)
+    per_proof = 3 if h > 1 else 2
+    idx_len = (
+        per_proof * kb
+        + sum(2 * n for n in upper_sizes)
+        + sum(sizes[L - 1] for L in range(2, h))
+    )
     o = kb * hw
     leaves_p = _unpack16(packed[:o].reshape(kb, hw))
     root = _unpack16(packed[o : o + hw])
     o += hw
     idx_all = packed[o : o + idx_len].astype(jnp.int32)
     o += idx_len
-    sibs_all = _unpack16(
-        packed[o : o + total_n * (arity - 1) * hw].reshape(
-            total_n, arity - 1, hw
-        )
+    content = _unpack16(
+        packed[o : o + n0 * arity * hw].reshape(n0, arity, hw)
     )
-    leaf_src = idx_all[:kb]
-    ok = jnp.all(leaves_p == leaves_p[leaf_src])
-    out = None
-    o = kb
+    o += n0 * arity * hw
+    sibs_all = _unpack16(
+        packed[o : o + total_upper * (arity - 1) * hw].reshape(
+            max(total_upper, 1), arity - 1, hw
+        )
+    ) if total_upper else None
+
+    j0 = idx_all[:kb]
+    pos0 = idx_all[kb : 2 * kb]
+    io = 2 * kb
+    m1 = None
+    if h > 1:
+        m1 = idx_all[io : io + kb]
+        io += kb
+    ents, poss = [], []
+    for n in upper_sizes:
+        ents.append(idx_all[io : io + n])
+        poss.append(idx_all[io + n : io + 2 * n])
+        io += 2 * n
+    checks = {}
+    for L in range(2, h):
+        c = sizes[L - 1]
+        checks[L] = idx_all[io : io + c]
+        io += c
+
+    # Level 0: hash the unique content groups; bind each proof's claimed
+    # leaf to its slot inside its content job.
+    out = _engine_hash_multiple(content)  # [n0, 16]
+    claimed = content[j0, pos0]  # [kb, 16]
+    ok = jnp.all(claimed == leaves_p)
+    if h > 1:
+        # Per-proof level-0 edge check (see docstring).
+        ok = jnp.logical_and(ok, jnp.all(out[j0] == out[ents[0][m1]]))
     so = 0
-    for L, n in enumerate(sizes):
-        ent_idx = idx_all[o : o + n]
-        pos = idx_all[o + n : o + 2 * n]
-        o += 2 * n
+    for i, n in enumerate(upper_sizes):
+        L = i + 1
+        ent = out[ents[i]]
         sibs = sibs_all[so : so + n]
         so += n
-        ent = leaves_p[ent_idx] if L == 0 else out[ent_idx]
-        group = _insert_at_position(ent, pos, sibs, arity)
+        group = _insert_at_position(ent, poss[i], sibs, arity)
         new_out = _engine_hash_multiple(group)
-        if L + 1 < len(sizes):
-            c = check_sizes[L + 1]
-            checks = idx_all[o : o + c]
-            o += c
-            ok = jnp.logical_and(ok, jnp.all(new_out == new_out[checks]))
+        if L + 1 < h:
+            ok = jnp.logical_and(
+                ok, jnp.all(new_out == new_out[checks[L + 1]])
+            )
         out = new_out
     roots_ok = jnp.all(out == root[None, :])
     return jnp.stack([ok, roots_ok])
 
 
-_dedup_verify_fused = jax.jit(_dedup_verify_levels, static_argnums=(0, 1, 2, 3))
+_dedup_verify_fused = jax.jit(_dedup_verify_levels, static_argnums=(0, 1, 2))
 
 
 def _dedup_pack(positions, siblings, leaves_np, root_np, arity):
     """Host phase of the deduped verify: range gates, schedule build, and
-    single-buffer packing.  Returns ``(sizes, check_sizes, kb, packed_np)``
-    with ``packed_np`` the host uint32 buffer (layout documented on
+    single-buffer packing.  Returns ``(sizes, kb, packed_np)`` with
+    ``packed_np`` the host uint32 buffer (layout documented on
     :func:`_dedup_verify_levels`), or ``None`` when the dedup path cannot
     soundly decide and the exact per-proof path must.  Split out so the
     benchmark can time host-schedule / upload / device-dispatch phases
@@ -608,9 +679,9 @@ def _dedup_pack(positions, siblings, leaves_np, root_np, arity):
     # Range gates — cheap host checks BEFORE the schedule build, because a
     # tripped gate discards everything built after it:
     #  - positions must lie in [0, arity): the suffix-key packing uses 8
-    #    bits per position ((c1 << 8) | pos in _dedup_schedule), so an
-    #    attacker-controlled pos >= 256 or < 0 could alias two distinct
-    #    suffixes into one group without its data ever being hashed;
+    #    bits per position, and the level-0 content scatter indexes by
+    #    pos, so an attacker-controlled pos >= arity or < 0 could alias
+    #    two distinct suffixes/groups without its data ever being hashed;
     #  - digits must be canonical 16-bit: the packed upload stores two
     #    digits per word, so d and d + 2^16 would alias.
     # Either way the exact per-proof path decides (it inserts nothing at
@@ -624,29 +695,34 @@ def _dedup_pack(positions, siblings, leaves_np, root_np, arity):
         or siblings.max(initial=0) >> 16
     ):
         return None
-    sched = _dedup_schedule(positions, siblings)
+    sched = _dedup_schedule(positions, siblings, leaves_np)
     if sched is None:  # host-hash bucket failed byte confirmation
         return None
-    schedule, leaf_src = sched
+    content, j0, upper, m1 = sched
     kb = _job_bucket(k)
-    sizes = tuple(lvl[1].shape[0] for lvl in schedule)
-    check_sizes = tuple(lvl[3].shape[0] for lvl in schedule)
-    # Pack leaves, root, every index vector, and every sibling row into ONE
-    # uint32 upload (layout documented on _dedup_verify_levels), digit data
-    # two-digits-per-word.
+    sizes = (content.shape[0],) + tuple(lvl[1].shape[0] for lvl in upper)
+    # Pack leaves, root, every index vector, the content groups, and every
+    # sibling row into ONE uint32 upload (layout documented on
+    # _dedup_verify_levels), digit data two-digits-per-word.
     parts = [
         _pack16_host(_pad_rows(leaves_np, kb)).ravel(),
         _pack16_host(root_np).ravel(),
-        _pad_rows(leaf_src.reshape(-1, 1), kb).ravel().astype(np.uint32),
+        _pad_rows(j0.reshape(-1, 1), kb).ravel().astype(np.uint32),
+        _pad_rows(positions[:, 0].reshape(-1, 1), kb)
+        .ravel()
+        .astype(np.uint32),
     ]
-    for L, (ent_idx, pos, _sibs, _check_src) in enumerate(schedule):
+    if m1 is not None:
+        parts.append(_pad_rows(m1.reshape(-1, 1), kb).ravel().astype(np.uint32))
+    for ent_idx, pos, _sibs, _checks in upper:
         parts.append(ent_idx.astype(np.uint32))
         parts.append(pos.astype(np.uint32))
-        if L + 1 < len(schedule):
-            parts.append(schedule[L + 1][3].astype(np.uint32))
-    for lvl in schedule:
+    for _ent, _pos, _sibs, checks in upper[1:]:
+        parts.append(checks.astype(np.uint32))
+    parts.append(_pack16_host(content).ravel())
+    for lvl in upper:
         parts.append(_pack16_host(lvl[2]).ravel())
-    return sizes, check_sizes, kb, np.concatenate(parts)
+    return sizes, kb, np.concatenate(parts)
 
 
 def _verify_all_deduped(positions, siblings, leaves, root, arity):
@@ -657,7 +733,7 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
     packed_sched = _dedup_pack(positions, siblings, leaves_np, root_np, arity)
     if packed_sched is None:
         return None
-    sizes, check_sizes, kb, packed_np = packed_sched
+    sizes, kb, packed_np = packed_sched
     packed = jnp.asarray(packed_np)
     # One fused dispatch on TPU; host-driven on CPU backends, where the
     # fused program's XLA:CPU compile is disproportionate (docs/PERF.md)
@@ -667,7 +743,7 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
         if jax.default_backend() in ("tpu", "axon")
         else _dedup_verify_levels
     )
-    flags = np.asarray(run(arity, sizes, check_sizes, kb, packed))
+    flags = np.asarray(run(arity, sizes, kb, packed))
     return bool(flags[1]) if bool(flags[0]) else None
 
 

@@ -1,0 +1,109 @@
+"""Collect round-4 benchmark evidence into docs/BENCH_R4.json.
+
+Reads the weather sweep's JSONL (every sample carries tunnel conditions),
+the 50K-proof scale log, and docs/WEAK_SCALING_MP.json, and writes one
+artifact with: per-config best + median samples, the tunnel-conditions
+range they were measured under, and the standing single-session numbers.
+
+Usage: python experiments/harvest_r4.py [sweep.jsonl ...]
+"""
+
+import json
+import statistics
+import sys
+import time
+
+
+def load_jsonl(path):
+    rows = []
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        rows.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+    except FileNotFoundError:
+        pass
+    return rows
+
+
+def main():
+    paths = sys.argv[1:] or ["/tmp/weather_sweep.jsonl", "/tmp/scale50k.log"]
+    rows = []
+    for p in paths:
+        rows.extend(load_jsonl(p))
+
+    conds = [r for r in rows if r.get("suite") == "tunnel_conditions"]
+    verif = [r for r in rows if r.get("suite") == "batch_verify"
+             and r.get("proofs") == 5000]
+    resid = [r for r in rows if r.get("suite") == "batch_verify_resident"
+             and r.get("proofs") == 5000]
+    scale_v = [r for r in rows if r.get("suite") == "batch_verify"
+               and r.get("proofs") == 50000]
+    scale_r = [r for r in rows if r.get("suite") == "batch_verify_resident"
+               and r.get("proofs") == 50000]
+    pose = [r for r in rows if r.get("suite") == "poseidon"]
+
+    def best(rs, key, lo=True):
+        if not rs:
+            return None
+        return min(rs, key=lambda r: r[key]) if lo else max(rs, key=lambda r: r[key])
+
+    def med(rs, key):
+        return round(statistics.median(r[key] for r in rs), 3) if rs else None
+
+    art = {
+        "date": time.strftime("%Y-%m-%d"),
+        "round": 4,
+        "samples": len(verif),
+        "tunnel_conditions_range": {
+            "hop_ms": [min(c["hop_ms"] for c in conds),
+                       max(c["hop_ms"] for c in conds)] if conds else None,
+            "upload_mb_s": [min(c["upload_mb_s"] for c in conds),
+                            max(c["upload_mb_s"] for c in conds)] if conds else None,
+        },
+        "batch_verify_5k": {
+            "best": best(verif, "verify_ms"),
+            "median_verify_ms": med(verif, "verify_ms"),
+        },
+        "batch_verify_5k_resident": {
+            "best_device": best(resid, "device_ms"),
+            "median_device_ms": med(resid, "device_ms"),
+            "median_schedule_ms": med(resid, "schedule_ms"),
+            "median_upload_ms": med(resid, "upload_ms"),
+        },
+        "batch_verify_50k_scale": {
+            "end_to_end": best(scale_v, "verify_ms"),
+            "resident": best(scale_r, "device_ms"),
+        },
+        "poseidon_small_medium_packed": {},
+    }
+    for batch in (512, 1024):
+        for mode in ("pairs", "single"):
+            rs = [r for r in pose if r["batch"] == batch and r["mode"] == mode]
+            b = best(rs, "hashes_per_s", lo=False)
+            if b:
+                art["poseidon_small_medium_packed"][f"{mode}_{batch}"] = {
+                    "best_hashes_per_s": b["hashes_per_s"],
+                    "best_vs_baseline": b["vs_baseline"],
+                    "median_hashes_per_s": med(rs, "hashes_per_s"),
+                }
+
+    try:
+        with open("docs/WEAK_SCALING_MP.json") as f:
+            art["weak_scaling_mp"] = json.load(f)["rows"]
+    except (FileNotFoundError, KeyError, json.JSONDecodeError):
+        pass
+
+    out = "docs/BENCH_R4.json"
+    with open(out, "w") as f:
+        json.dump(art, f, indent=2)
+    print(json.dumps(art, indent=2)[:2000])
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -356,12 +356,15 @@ def test_dedup_verify_rejects_tampered(arity):
     assert not merkle.verify_all(bad_pos, sib, proved, root, arity, dedupe=True)
 
 
-def _hash_colliding_delta():
-    """u64 word deltas (d0, d1) with salt0*d0 + salt1*d1 == 0 mod 2^64 and
-    (d0, d1) != 0 — added to any sibling row's first two u64 words they
-    change the bytes but preserve merkle._row_hash_u64 (its core is linear
-    in the u64 words; the final avalanche is a bijection)."""
-    s0, s1 = (int(merkle._COLUMN_SALTS[0]), int(merkle._COLUMN_SALTS[1]))
+def _hash_colliding_delta(i0=0, i1=1):
+    """u64 word deltas (d0, d1) with salt_i0*d0 + salt_i1*d1 == 0 mod 2^64
+    and (d0, d1) != 0 — added to a row's u64 words i0/i1 they change the
+    bytes but preserve merkle._row_hash_u64 (its core is linear in the u64
+    words; the final avalanche is a bijection).  Pick (i0, i1) to match
+    where the bytes land in the hashed row: sibling rows hash from word 0;
+    a level-0 CONTENT row places the sibling after the group's earlier
+    columns (e.g. words 8+ when the leaf occupies column 0)."""
+    s0, s1 = (int(merkle._COLUMN_SALTS[i0]), int(merkle._COLUMN_SALTS[i1]))
     d0 = 1
     d1 = (-s0 * d0 * pow(s1, -1, 1 << 64)) % (1 << 64)
     return d0, d1
@@ -380,17 +383,40 @@ def _apply_delta_row(row_u32: np.ndarray, d0: int, d1: int) -> np.ndarray:
 def test_dedup_schedule_rejects_crafted_hash_collision():
     """The row hash is linear, so collisions are craftable — the schedule
     must byte-confirm buckets and abort (return None) instead of merging
-    distinct sibling rows (advisor finding, round 2)."""
-    d0, d1 = _hash_colliding_delta()
+    distinct rows (advisor finding, round 2).  Both hashed row kinds are
+    attacked: level-0 CONTENT rows and upper-level sibling rows."""
+    leaves = np.ones((2, 16), np.uint32)
+
+    # (a) Level-0 content collision: arity 2, pos 0 puts the sibling at
+    # content words 8..15, so the delta targets salt words 8/9.
+    d0, d1 = _hash_colliding_delta(8, 9)
     row_a = np.arange(16, dtype=np.uint32) & 0xFFFF
     row_b = _apply_delta_row(row_a, d0, d1)
     assert not np.array_equal(row_a, row_b)
-    ha = merkle._row_hash_u64(row_a.reshape(1, -1).view(np.uint8))
-    hb = merkle._row_hash_u64(row_b.reshape(1, -1).view(np.uint8))
-    assert ha[0] == hb[0]  # the crafted collision is real
+    ca = np.concatenate([leaves[0], row_a]).reshape(1, -1)
+    cb = np.concatenate([leaves[1], row_b]).reshape(1, -1)
+    ha = merkle._row_hash_u64(ca.view(np.uint8))
+    hb = merkle._row_hash_u64(cb.view(np.uint8))
+    assert ha[0] == hb[0]  # the crafted content collision is real
     positions = np.zeros((2, 1), np.int32)
     siblings = np.stack([row_a, row_b]).reshape(2, 1, 1, 16)
-    assert merkle._dedup_schedule(positions, siblings) is None
+    assert merkle._dedup_schedule(positions, siblings, leaves) is None
+
+    # (b) Upper-level sibling-row collision (hashed from word 0).
+    d0, d1 = _hash_colliding_delta(0, 1)
+    row_b0 = _apply_delta_row(row_a, d0, d1)
+    ha = merkle._row_hash_u64(row_a.reshape(1, -1).view(np.uint8))
+    hb = merkle._row_hash_u64(row_b0.reshape(1, -1).view(np.uint8))
+    assert ha[0] == hb[0]
+    positions = np.zeros((2, 2), np.int32)
+    shared = np.zeros((2, 1, 16), np.uint32)  # identical level-0 rows
+    siblings = np.stack(
+        [
+            np.stack([shared[0], row_a.reshape(1, 16)]),
+            np.stack([shared[1], row_b0.reshape(1, 16)]),
+        ]
+    )  # [2, 2, 1, 16]
+    assert merkle._dedup_schedule(positions, siblings, leaves) is None
 
 
 def test_dedup_verify_sound_under_crafted_collision():
