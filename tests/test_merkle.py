@@ -505,6 +505,26 @@ def test_dedup_gate_rejects_out_of_range_positions():
         assert got == want == False  # noqa: E712
 
 
+def test_dedup_content_merges_leaf_groups():
+    """Level-0 jobs are content-keyed (round 4): proving every leaf of a
+    tree must yield exactly one level-0 job per leaf GROUP (the arity
+    sibling proofs share one reconstructed group), not one per proof."""
+    arity, n = 4, 64
+    xs = [rng.randrange(oracle.P) for _ in range(n)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    idxs = np.arange(n)
+    pos, sib = tree.generate_batch_proofs(idxs)
+    pos, sib = np.asarray(pos, np.int32), np.asarray(sib, np.uint32)
+    proved = np.asarray(tree.levels[0])[idxs]
+    root = np.asarray(tree.get_root_hash())
+    sizes, kb, _packed = merkle._dedup_pack(pos, sib, proved, root, arity)
+    assert sizes[0] == merkle._job_bucket(n // arity)  # 16 groups, not 64
+    # Upper levels stay suffix-keyed: 64 proofs -> 16 L1 jobs, 4 L2 jobs.
+    assert sizes[1] == merkle._job_bucket(16)
+    assert sizes[2] == merkle._job_bucket(4)
+    assert merkle.verify_all(pos, sib, proved, root, arity, dedupe=True)
+
+
 def test_dedup_fuzz_matches_exact_path():
     """Randomized differential: for random trees, index multisets, and
     tamper patterns (none / leaf / sibling / position / root), the deduped
