@@ -31,12 +31,19 @@ def load_jsonl(path):
 
 
 def main():
-    paths = sys.argv[1:] or ["/tmp/weather_sweep.jsonl", "/tmp/scale50k.log"]
+    paths = sys.argv[1:] or [
+        "/tmp/weather_sweep.jsonl",
+        "/tmp/scale50k.log",
+        "/tmp/refexact.jsonl",
+        "/tmp/final_r4.jsonl",
+    ]
     rows = []
     for p in paths:
         rows.extend(load_jsonl(p))
 
     conds = [r for r in rows if r.get("suite") == "tunnel_conditions"]
+    ref_exact = [r for r in rows if "ref-exact" in str(r.get("config", ""))]
+    rows = [r for r in rows if "ref-exact" not in str(r.get("config", ""))]
     verif = [r for r in rows if r.get("suite") == "batch_verify"
              and r.get("proofs") == 5000]
     resid = [r for r in rows if r.get("suite") == "batch_verify_resident"
@@ -78,6 +85,19 @@ def main():
         "batch_verify_50k_scale": {
             "end_to_end": best(scale_v, "verify_ms"),
             "resident": best(scale_r, "device_ms"),
+        },
+        # The reference's own 14.8 ms workload: 5000 proofs over a
+        # 1024-leaf arity-4 tree (test_merkle_benchmark_cuda.cpp:185-210).
+        "batch_verify_ref_exact_5000x1024": {
+            "end_to_end": best(
+                [r for r in ref_exact if r.get("suite") == "batch_verify"],
+                "verify_ms",
+            ),
+            "resident": best(
+                [r for r in ref_exact
+                 if r.get("suite") == "batch_verify_resident"],
+                "software_ms",
+            ),
         },
         "poseidon_small_medium_packed": {},
     }
