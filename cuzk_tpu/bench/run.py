@@ -414,6 +414,7 @@ def bench_batch_verify(
     out = {
         "suite": "batch_verify",
         "proofs": n_proofs,
+        "leaves": n_leaves,
         "arity": arity,
         "all_valid": ok,
         "paths_consistent": consistent,
@@ -558,6 +559,7 @@ def bench_batch_verify_resident(
     out = {
         "suite": "batch_verify_resident",
         "proofs": n_proofs,
+        "leaves": n_leaves,
         "arity": arity,
         "all_valid": ok,
         "iters": iters,

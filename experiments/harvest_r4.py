@@ -42,8 +42,13 @@ def main():
         rows.extend(load_jsonl(p))
 
     conds = [r for r in rows if r.get("suite") == "tunnel_conditions"]
-    ref_exact = [r for r in rows if "ref-exact" in str(r.get("config", ""))]
-    rows = [r for r in rows if "ref-exact" not in str(r.get("config", ""))]
+    # ref-exact config = 5K proofs over 1024 leaves (marked by the loop's
+    # config tag, or by the leaves field in newer bench output).
+    ref_exact = [
+        r for r in rows
+        if "ref-exact" in str(r.get("config", "")) or r.get("leaves") == 1024
+    ]
+    rows = [r for r in rows if r not in ref_exact]
     verif = [r for r in rows if r.get("suite") == "batch_verify"
              and r.get("proofs") == 5000]
     resid = [r for r in rows if r.get("suite") == "batch_verify_resident"
@@ -65,6 +70,12 @@ def main():
     art = {
         "date": time.strftime("%Y-%m-%d"),
         "round": 4,
+        "note": (
+            "samples span the round's code evolution: 5K-config resident "
+            "rows with unique_jobs=7864 predate the content-keyed level-0 "
+            "dedup (4792 jobs after); medians blend both, 'best' rows "
+            "carry their own fields"
+        ),
         "samples": len(verif),
         "tunnel_conditions_range": {
             "hop_ms": [min(c["hop_ms"] for c in conds),
