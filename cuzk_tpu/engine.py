@@ -279,27 +279,12 @@ class CoalescingPoseidonEngine(PoseidonEngine):
                     from cuzk_tpu.field import fr
 
                     stacked = [fr.pack16(s) for s in stacked]
-                if kind == "single":
-                    fn = (
-                        self.inner.batch_hash_single_packed
-                        if packed
-                        else self.inner.batch_hash_single
-                    )
-                    out = fn(jnp.asarray(stacked[0]))
-                elif kind == "pairs":
-                    fn = (
-                        self.inner.batch_hash_pairs_packed
-                        if packed
-                        else self.inner.batch_hash_pairs
-                    )
-                    out = fn(jnp.asarray(stacked[0]), jnp.asarray(stacked[1]))
-                else:
-                    fn = (
-                        self.inner.batch_hash_multiple_packed
-                        if packed
-                        else self.inner.batch_hash_multiple
-                    )
-                    out = fn(jnp.asarray(stacked[0]))
+                # kind is "single" | "pairs" | "multiple" (queue key).
+                fn = getattr(
+                    self.inner,
+                    f"batch_hash_{kind}{'_packed' if packed else ''}",
+                )
+                out = fn(*(jnp.asarray(s) for s in stacked))
             except BaseException:
                 self._queues[key] = calls  # keep the work; get() can retry
                 raise

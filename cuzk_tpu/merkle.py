@@ -485,9 +485,9 @@ def _dedup_schedule(
     col = j[None, :] + (j[None, :] >= pos0[:, None])  # sibling j's column
     content[np.arange(k)[:, None], col] = siblings[:, 0]
     content[np.arange(k), pos0] = leaves[:k]
-    cflat = content.reshape(k, -1)
-    c_u64 = cflat.view(np.uint8).reshape(k, -1).view("<u8")
-    cfirst, j0 = _unique_keys(_row_hash_u64(cflat.view(np.uint8)))
+    c_u8 = content.reshape(k, -1).view(np.uint8)
+    c_u64 = c_u8.view("<u8")
+    cfirst, j0 = _unique_keys(_row_hash_u64(c_u8))
     if not np.array_equal(c_u64, c_u64[cfirst[j0]]):
         return None  # host-hash collision: only the exact path decides
     content_b = _pad_rows(content[cfirst], _job_bucket(len(cfirst)))
@@ -617,7 +617,7 @@ def _dedup_verify_levels(arity, sizes, kb, packed):
     o += n0 * arity * hw
     sibs_all = _unpack16(
         packed[o : o + total_upper * (arity - 1) * hw].reshape(
-            max(total_upper, 1), arity - 1, hw
+            total_upper, arity - 1, hw
         )
     ) if total_upper else None
 
