@@ -399,12 +399,7 @@ def _row_hash_u64(mat: np.ndarray) -> np.ndarray:
     # row reduction in one pass with no [k, w/8] temporary — measured
     # 7.6x over `(u * salts).sum(axis=1)` on the 1-core bench host, where
     # this is the largest term of the 5K-proof schedule build.
-    h = np.einsum("ij,j->i", u, _COLUMN_SALTS[: u.shape[1]])
-    # Final avalanche so low bits depend on every column.
-    h ^= h >> np.uint64(33)
-    h = h * np.uint64(0xFF51AFD7ED558CCD)
-    h ^= h >> np.uint64(33)
-    return h
+    return _hash_u64_rows(u)
 
 
 def _unique_keys(keys: np.ndarray):
@@ -412,6 +407,38 @@ def _unique_keys(keys: np.ndarray):
     vector."""
     _, first, inv = np.unique(keys, return_index=True, return_inverse=True)
     return first.astype(np.int32), inv.reshape(-1).astype(np.int32)
+
+
+def _hash_u64_rows(u: np.ndarray) -> np.ndarray:
+    """Bucketing hash over the trailing axis of an (arbitrarily strided)
+    ``[..., w] uint64`` array — the same multiply-sum + avalanche as
+    :func:`_row_hash_u64`, minus the byte-view plumbing.  Taking the u64
+    view directly lets multi-level callers hash ``sib_u64[:, 1:]`` in
+    place instead of materializing an 80 MB contiguous byte copy first
+    (the largest single term of the 50K-proof schedule build)."""
+    h = np.einsum("...j,j->...", u, _COLUMN_SALTS[: u.shape[-1]])
+    h ^= h >> np.uint64(33)
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _confirm_buckets(rows_u64: np.ndarray, first: np.ndarray, inv: np.ndarray) -> bool:
+    """Byte-confirm a hash-bucketed grouping: every row must equal its
+    bucket representative.  Rows that ARE their own representative are
+    equal by identity, so only the duplicate members are gathered and
+    compared — on mostly-unique levels (every proof its own group, the
+    common case for large distinct-leaf batches) this does no row
+    gathering at all.  Exactness is unchanged: the skipped comparisons
+    are ``row == row``."""
+    k = rows_u64.shape[0]
+    if len(first) == k:
+        return True  # every bucket a singleton: each row is its own rep
+    rep = first[inv]
+    dup = np.flatnonzero(rep != np.arange(k, dtype=rep.dtype))
+    if not len(dup):
+        return True
+    return np.array_equal(rows_u64[dup], rows_u64[rep[dup]])
 
 
 def _job_bucket(u: int) -> int:
@@ -488,7 +515,7 @@ def _dedup_schedule(
     c_u8 = content.reshape(k, -1).view(np.uint8)
     c_u64 = c_u8.view("<u8")
     cfirst, j0 = _unique_keys(_row_hash_u64(c_u8))
-    if not np.array_equal(c_u64, c_u64[cfirst[j0]]):
+    if not _confirm_buckets(c_u64, cfirst, j0):
         return None  # host-hash collision: only the exact path decides
     content_b = _pad_rows(content[cfirst], _job_bucket(len(cfirst)))
 
@@ -496,19 +523,27 @@ def _dedup_schedule(
         return content_b, j0, [], None
 
     # ---- Levels >= 1: suffix group ids, root-down ----------------------
-    # Per-level sibling-row hashes in one pass ([k, h-1] uint64).
-    sib_keys = _row_hash_u64(
-        sib_flat[:, 1:].reshape(k * (h - 1), -1).view(np.uint8)
-    ).reshape(k, h - 1)
+    # Per-level sibling-row hashes in one strided pass ([k, h-1] uint64).
+    sib_keys = _hash_u64_rows(sib_u64[:, 1:])
     gid = np.zeros(k, np.int64)
+    ident = np.arange(k, dtype=np.int32)
+    saturated = False  # every proof already its own suffix group?
     reps: List[np.ndarray] = [None] * h
     keys: List[np.ndarray] = [None] * h
     for L in range(h - 1, 0, -1):
+        if saturated:
+            # suffix_{L+1} already separates all k proofs, and suffix_L
+            # refines suffix_{L+1} — every class stays a singleton.  Any
+            # consistent numbering works downstream (jobs are addressed
+            # through reps/keys only), so use the identity instead of
+            # re-sorting k packed keys per remaining level.
+            reps[L], keys[L] = ident, ident
+            continue
         # Row-equality ids: bucket by hash, then CONFIRM byte equality
         # against each bucket's representative — after confirmation, rid
         # equality <=> row equality exactly.
         rfirst, rid = _unique_keys(sib_keys[:, L - 1])
-        if not np.array_equal(sib_u64[:, L], sib_u64[rfirst[rid], L]):
+        if not _confirm_buckets(sib_u64[:, L], rfirst, rid):
             return None
         # suffix_L = (suffix_{L+1}, row_L, pos_L) — exact u64 packings of
         # inverse indices (gid/rid < k) and pos (< arity <= 8, gated to 8
@@ -533,6 +568,7 @@ def _dedup_schedule(
                 | positions[:, L].astype(np.uint64)
             )
         gid = keys[L].astype(np.int64)
+        saturated = len(reps[L]) == k
 
     keys[0] = j0  # level-0 job id per proof (content-keyed)
     upper = []

@@ -22,7 +22,7 @@ enable_compile_cache()
 from cuzk_tpu.bench import run as br  # noqa: E402
 
 MAX_HOURS = float(sys.argv[1]) if len(sys.argv) > 1 else 8.0
-INTERVAL = 1200
+INTERVAL = int(float(sys.argv[2])) if len(sys.argv) > 2 else 1200
 OUT = "/tmp/refexact.jsonl"
 
 
