@@ -419,6 +419,95 @@ def test_dedup_schedule_rejects_crafted_hash_collision():
     assert merkle._dedup_schedule(positions, siblings, leaves) is None
 
 
+def test_dedup_schedule_partition_matches_bruteforce():
+    """The schedule's grouping must EQUAL the mathematical partition
+    (level-0: identical reconstructed content groups; level L: identical
+    (positions[:, L:], siblings[:, L:]) suffixes) up to job relabeling.
+    Exercises both fast paths added in round 4: duplicate-only bucket
+    confirmation (tiny alphabet forces many duplicate rows) and the
+    saturation early-exit (a block of all-distinct proofs saturates the
+    suffix partition mid-walk, switching lower levels to identity
+    numbering)."""
+    rng_np = np.random.default_rng(3)
+    k, arity, h = 400, 3, 5
+    positions = rng_np.integers(0, arity, (k, h)).astype(np.int32)
+    # Tiny alphabet => heavy row duplication at every level.
+    siblings = rng_np.integers(0, 4, (k, h, arity - 1, 16)).astype(np.uint32)
+    leaves = rng_np.integers(0, 4, (k, 16)).astype(np.uint32)
+    # Make the top half share whole suffixes and the bottom half fully
+    # distinct (forces saturation once the distinct block dominates).
+    positions[200:, 2:] = positions[:200, 2:]
+    siblings[200:, 2:] = siblings[:200, 2:]
+    siblings[:200, 0, 0, 0] = np.arange(200, dtype=np.uint32) + 10
+
+    sched = merkle._dedup_schedule(positions, siblings, leaves)
+    assert sched is not None
+    content_b, j0, upper, m1 = sched
+    sib_flat = siblings.reshape(k, h, -1)
+
+    def part_eq(ref_labels, got_labels):
+        pairs = set(zip(map(int, ref_labels), map(int, got_labels)))
+        return (
+            len(pairs)
+            == len(set(map(int, ref_labels)))
+            == len(set(map(int, got_labels)))
+        )
+
+    # Level-0 content partition (brute force).
+    pos0 = positions[:, 0]
+    content = np.empty((k, arity, 16), np.uint32)
+    j = np.arange(arity - 1)
+    col = j[None, :] + (j[None, :] >= pos0[:, None])
+    content[np.arange(k)[:, None], col] = siblings[:, 0]
+    content[np.arange(k), pos0] = leaves
+    crows = [tuple(r) for r in content.reshape(k, -1)]
+    seen: dict = {}
+    ref0 = [seen.setdefault(r, len(seen)) for r in crows]
+    assert part_eq(ref0, j0)
+    # Every proof's job row holds exactly its reconstructed group bytes.
+    assert all(
+        tuple(content_b[int(j0[i])].ravel()) == crows[i] for i in range(k)
+    )
+
+    # Suffix partitions, every level (brute force tuple keys).
+    for L in range(1, h):
+        seen = {}
+        ref = [
+            seen.setdefault(
+                tuple(positions[i, L:]) + tuple(sib_flat[i, L:].ravel()),
+                len(seen),
+            )
+            for i in range(k)
+        ]
+        if L == 1:
+            assert part_eq(ref, m1)
+        # Job counts must equal the true class counts at every level
+        # (bucketed arrays pad with copies of job 0; count the distinct
+        # entering states actually scheduled).
+        n_true = len(set(ref))
+        assert upper[L - 1][1].shape[0] == merkle._job_bucket(n_true)
+
+    # Case (b): distinct TOP-level rows saturate the suffix partition at
+    # L = h-1, so every lower level takes the identity early-exit; the
+    # grouping must still be the (all-singleton) true partition.
+    siblings_b = siblings.copy()
+    siblings_b[:, h - 1, 0, 0] = np.arange(k, dtype=np.uint32) + 100
+    sched_b = merkle._dedup_schedule(positions, siblings_b, leaves)
+    assert sched_b is not None
+    _, _, upper_b, m1_b = sched_b
+    # All-singleton at every suffix level: k jobs (bucketed) per level,
+    # and m1 is a bijection over proofs.
+    for L in range(1, h):
+        assert upper_b[L - 1][1].shape[0] == merkle._job_bucket(k)
+    assert len(set(map(int, m1_b))) == k
+    # The schedule must still verify end-to-end semantics: each level-1
+    # job's entering index is its own proof's level-0 job.
+    ent1 = upper_b[0][0]
+    j0_b = sched_b[1]
+    reps_order = {int(m1_b[i]): int(j0_b[i]) for i in range(k)}
+    assert all(int(ent1[m]) == j for m, j in reps_order.items())
+
+
 def test_dedup_verify_sound_under_crafted_collision():
     """End-to-end soundness: an invalid proof whose top-level sibling row
     hash-collides with a valid proof's must NOT be accepted by the deduped
