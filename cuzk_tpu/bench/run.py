@@ -523,7 +523,7 @@ def bench_batch_verify_resident(
     packed_sched = merkle._dedup_pack(pos, sib, proved, root, arity)
     if packed_sched is None:
         raise SystemExit("dedup pack declined on honest proofs; aborting")
-    sizes, kb, packed_np = packed_sched
+    sizes, kb, lu, packed_np = packed_sched
     t0 = time.perf_counter()
     for _ in range(iters):
         merkle._dedup_pack(pos, sib, proved, root, arity)
@@ -540,20 +540,20 @@ def bench_batch_verify_resident(
     # Phase 3: device-resident fused verify.
     packed_dev = uploads[-1]
     run = merkle._dedup_verify_fused
-    flags = np.asarray(run(arity, sizes, kb, packed_dev))
+    flags = np.asarray(run(arity, sizes, kb, lu, packed_dev))
     ok = bool(flags[0]) and bool(flags[1])
     # Pipelined: dispatches queue asynchronously; one tiny readback at the
     # end forces completion of the whole chain.
     t0 = time.perf_counter()
     outs = [
-        run(arity, sizes, kb, packed_dev) for _ in range(iters)
+        run(arity, sizes, kb, lu, packed_dev) for _ in range(iters)
     ]
     np.asarray(outs[-1])
     device_ms = (time.perf_counter() - t0) / iters * 1e3
     # Synchronous: flags read back each iteration (adds one tunnel hop).
     t0 = time.perf_counter()
     for _ in range(iters):
-        np.asarray(run(arity, sizes, kb, packed_dev))
+        np.asarray(run(arity, sizes, kb, lu, packed_dev))
     device_sync_ms = (time.perf_counter() - t0) / iters * 1e3
 
     out = {

@@ -602,16 +602,24 @@ _pack16_host = fr.pack16
 _unpack16 = fr.unpack16
 
 
-def _dedup_verify_levels(arity, sizes, kb, packed):
+def _dedup_verify_levels(arity, sizes, kb, lu, packed):
     """Device program: one hash per unique tree node touched, level by
     level, with the merge-consistency checks accumulated into one scalar.
 
     The whole schedule arrives as ONE flat uint32 vector ``packed`` —
-    ``[leaves_p (kb x 8) | root (8) | idx section | content groups
+    ``[leaf table | root (8) | idx section | content groups
     (n0 x arity x 8) | sibling rows (sum n_L x (arity-1) x 8, L >= 1)]``
     with all digit data 16-bit-packed two-per-word (:func:`_pack16_host`;
-    the host range-gates digits first).  The idx section is
-    ``[j0 (kb) | pos0 (kb) | m1 (kb, h > 1 only) | per level L >= 1:
+    the host range-gates digits first).  The static ``lu`` selects the
+    leaf-table layout: ``lu == 0`` is DENSE (one row per proof, kb x 8
+    packed words); ``lu > 0`` is COMPACT — ``lu`` byte-deduped unique leaf
+    rows plus a per-proof index ``lidx`` in the idx section.  Compact
+    saves most of the upload when proofs repeatedly claim the same leaves
+    (the reference's own 5K-proof benchmark proves 1024 leaves ~5x each:
+    163 KB of claimed-leaf rows shrink to 33 KB + 20 KB of u32 indices).
+    The idx section is ``[jp (kb: j0 << 3 | pos0 — pos0 < arity <= 8
+    needs 3 bits, j0 < k < 2^28 by the schedule's own packing bound) |
+    lidx (kb, compact only) | m1 (kb, h > 1 only) | per level L >= 1:
     ent_idx(n_L) pos(n_L) | per level L >= 2: checks(n_{L-1})]``, sliced
     here by the static ``sizes`` (n0 = content jobs, then suffix-job
     counts).  One upload + one fused dispatch + one tiny readback: on the
@@ -622,6 +630,8 @@ def _dedup_verify_levels(arity, sizes, kb, packed):
     Checks (all must pass or the caller falls back to the exact path):
       - leaf binding: every proof's claimed leaf equals the value at its
         position inside its content job (content[j0[i], pos0[i]]);
+        compact is sound because the host byte-confirms the leaf table
+        (``leaf_rows[lidx[i]]`` byte-equals the caller's ``leaves[i]``);
       - level-0 edges (h > 1): out0[j0[i]] == out0[ent_idx1[m1[i]]] —
         a content job can feed many level-1 parents, so edges are
         per-proof;
@@ -635,14 +645,15 @@ def _dedup_verify_levels(arity, sizes, kb, packed):
     n0 = sizes[0]
     upper_sizes = sizes[1:]
     total_upper = sum(upper_sizes)
-    per_proof = 3 if h > 1 else 2
+    nl = lu if lu else kb
+    per_proof = 1 + (1 if lu else 0) + (1 if h > 1 else 0)
     idx_len = (
         per_proof * kb
         + sum(2 * n for n in upper_sizes)
         + sum(sizes[L - 1] for L in range(2, h))
     )
-    o = kb * hw
-    leaves_p = _unpack16(packed[:o].reshape(kb, hw))
+    o = nl * hw
+    leaf_rows = _unpack16(packed[:o].reshape(nl, hw))
     root = _unpack16(packed[o : o + hw])
     o += hw
     idx_all = packed[o : o + idx_len].astype(jnp.int32)
@@ -657,9 +668,15 @@ def _dedup_verify_levels(arity, sizes, kb, packed):
         )
     ) if total_upper else None
 
-    j0 = idx_all[:kb]
-    pos0 = idx_all[kb : 2 * kb]
-    io = 2 * kb
+    jp = idx_all[:kb]
+    j0 = jp >> 3
+    pos0 = jp & 7
+    io = kb
+    lidx = None
+    if lu:
+        lidx = idx_all[io : io + kb]
+        io += kb
+    leaves_p = leaf_rows[lidx] if lu else leaf_rows
     m1 = None
     if h > 1:
         m1 = idx_all[io : io + kb]
@@ -700,13 +717,16 @@ def _dedup_verify_levels(arity, sizes, kb, packed):
     return jnp.stack([ok, roots_ok])
 
 
-_dedup_verify_fused = jax.jit(_dedup_verify_levels, static_argnums=(0, 1, 2))
+_dedup_verify_fused = jax.jit(
+    _dedup_verify_levels, static_argnums=(0, 1, 2, 3)
+)
 
 
 def _dedup_pack(positions, siblings, leaves_np, root_np, arity):
     """Host phase of the deduped verify: range gates, schedule build, and
-    single-buffer packing.  Returns ``(sizes, kb, packed_np)`` with
-    ``packed_np`` the host uint32 buffer (layout documented on
+    single-buffer packing.  Returns ``(sizes, kb, lu, packed_np)`` with
+    ``packed_np`` the host uint32 buffer and ``lu`` the compact
+    leaf-table length (0 = dense; layout documented on
     :func:`_dedup_verify_levels`), or ``None`` when the dedup path cannot
     soundly decide and the exact per-proof path must.  Split out so the
     benchmark can time host-schedule / upload / device-dispatch phases
@@ -737,17 +757,47 @@ def _dedup_pack(positions, siblings, leaves_np, root_np, arity):
     content, j0, upper, m1 = sched
     kb = _job_bucket(k)
     sizes = (content.shape[0],) + tuple(lvl[1].shape[0] for lvl in upper)
+
+    # Compact leaf table: byte-dedup the claimed-leaf rows (same hash-
+    # bucket-then-confirm discipline as the schedule itself, so a crafted
+    # collision degrades to the dense layout, never to unsoundness) and
+    # ship ``lu`` unique rows + a per-proof u32 index instead of one row
+    # per proof.  Only when it actually shrinks the buffer: lu * hw + kb
+    # index words vs kb * hw dense words.
+    hw = fr.NDIGITS // 2
+    leaves_k = np.ascontiguousarray(leaves_np[:k])
+    lfirst, linv = _unique_keys(
+        _row_hash_u64(leaves_k.reshape(k, -1).view(np.uint8))
+    )
+    lu = 0
+    lu_b = _job_bucket(len(lfirst))  # bucketed so executables are reused
+    if (
+        lu_b * hw + kb < kb * hw
+        and _confirm_buckets(leaves_k.view("<u8"), lfirst, linv)
+    ):
+        lu = lu_b
+
     # Pack leaves, root, every index vector, the content groups, and every
     # sibling row into ONE uint32 upload (layout documented on
-    # _dedup_verify_levels), digit data two-digits-per-word.
+    # _dedup_verify_levels), digit data two-digits-per-word.  j0 and pos0
+    # ride one word (j0 << 3 | pos0): pos0 < arity <= 8 and j0 < k < 2^28
+    # (the schedule's own suffix-packing bound).
+    jp = (j0.astype(np.uint32) << np.uint32(3)) | positions[:, 0].astype(
+        np.uint32
+    )
     parts = [
-        _pack16_host(_pad_rows(leaves_np, kb)).ravel(),
+        _pack16_host(
+            _pad_rows(leaves_k[lfirst], lu)
+            if lu
+            else _pad_rows(leaves_k, kb)
+        ).ravel(),
         _pack16_host(root_np).ravel(),
-        _pad_rows(j0.reshape(-1, 1), kb).ravel().astype(np.uint32),
-        _pad_rows(positions[:, 0].reshape(-1, 1), kb)
-        .ravel()
-        .astype(np.uint32),
+        _pad_rows(jp.reshape(-1, 1), kb).ravel(),
     ]
+    if lu:
+        parts.append(
+            _pad_rows(linv.reshape(-1, 1), kb).ravel().astype(np.uint32)
+        )
     if m1 is not None:
         parts.append(_pad_rows(m1.reshape(-1, 1), kb).ravel().astype(np.uint32))
     for ent_idx, pos, _sibs, _checks in upper:
@@ -758,7 +808,7 @@ def _dedup_pack(positions, siblings, leaves_np, root_np, arity):
     parts.append(_pack16_host(content).ravel())
     for lvl in upper:
         parts.append(_pack16_host(lvl[2]).ravel())
-    return sizes, kb, np.concatenate(parts)
+    return sizes, kb, lu, np.concatenate(parts)
 
 
 def _verify_all_deduped(positions, siblings, leaves, root, arity):
@@ -769,7 +819,7 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
     packed_sched = _dedup_pack(positions, siblings, leaves_np, root_np, arity)
     if packed_sched is None:
         return None
-    sizes, kb, packed_np = packed_sched
+    sizes, kb, lu, packed_np = packed_sched
     packed = jnp.asarray(packed_np)
     # One fused dispatch on TPU; host-driven on CPU backends, where the
     # fused program's XLA:CPU compile is disproportionate (docs/PERF.md)
@@ -779,7 +829,7 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
         if jax.default_backend() in ("tpu", "axon")
         else _dedup_verify_levels
     )
-    flags = np.asarray(run(arity, sizes, kb, packed))
+    flags = np.asarray(run(arity, sizes, kb, lu, packed))
     return bool(flags[1]) if bool(flags[0]) else None
 
 

@@ -606,12 +606,59 @@ def test_dedup_content_merges_leaf_groups():
     pos, sib = np.asarray(pos, np.int32), np.asarray(sib, np.uint32)
     proved = np.asarray(tree.levels[0])[idxs]
     root = np.asarray(tree.get_root_hash())
-    sizes, kb, _packed = merkle._dedup_pack(pos, sib, proved, root, arity)
+    sizes, kb, _lu, _packed = merkle._dedup_pack(pos, sib, proved, root, arity)
     assert sizes[0] == merkle._job_bucket(n // arity)  # 16 groups, not 64
     # Upper levels stay suffix-keyed: 64 proofs -> 16 L1 jobs, 4 L2 jobs.
     assert sizes[1] == merkle._job_bucket(16)
     assert sizes[2] == merkle._job_bucket(4)
     assert merkle.verify_all(pos, sib, proved, root, arity, dedupe=True)
+
+
+def test_dedup_compact_leaf_table():
+    """Duplicate-heavy batches (the reference's own 5K x 1024 benchmark
+    shape) must engage the COMPACT leaf-table layout (lu > 0), shrink the
+    packed upload, and still accept valid proofs while rejecting both a
+    tampered sibling and a tampered claimed leaf (the compact leaf-binding
+    check); distinct-leaf batches must stay dense (lu == 0)."""
+    arity, n = 4, 64
+    xs = [rng.randrange(oracle.P) for _ in range(n)]
+    leaves = leaves_arr(xs)
+    tree = merkle.NaryMerkleTree(leaves, merkle.MerkleConfig(arity))
+    idx = np.arange(600) % n  # each leaf claimed ~9x
+    pos, sib = tree.generate_batch_proofs(idx)
+    pos_np = np.asarray(pos, np.int32)
+    sib_np = np.asarray(sib, np.uint32)
+    lv = np.asarray(leaves)[idx]
+    root = np.asarray(tree.get_root_hash(), np.uint32)
+    sizes, kb, lu, packed = merkle._dedup_pack(pos_np, sib_np, lv, root, arity)
+    assert lu == merkle._job_bucket(n)  # 64 unique leaves, bucketed
+    hw = 8
+    dense_words = kb * hw
+    compact_words = lu * hw + kb
+    assert compact_words < dense_words  # it engaged because it shrinks
+    assert bool(merkle.verify_all(pos_np, sib_np, lv, root, arity, dedupe=True))
+    bad_sib = sib_np.copy()
+    bad_sib[5, 0, 0, 0] ^= 1
+    assert not bool(
+        merkle.verify_all(pos_np, bad_sib, lv, root, arity, dedupe=True)
+    )
+    bad_lv = lv.copy()
+    bad_lv[7, 0] ^= 1
+    assert not bool(
+        merkle.verify_all(pos_np, sib_np, bad_lv, root, arity, dedupe=True)
+    )
+    # Distinct leaves at the same batch size: dense (compact would grow
+    # the buffer).
+    idx2 = np.arange(n)
+    pos2, sib2 = tree.generate_batch_proofs(idx2)
+    _s, _kb, lu2, _p = merkle._dedup_pack(
+        np.asarray(pos2, np.int32),
+        np.asarray(sib2, np.uint32),
+        np.asarray(leaves)[idx2],
+        root,
+        arity,
+    )
+    assert lu2 == 0
 
 
 def test_dedup_fuzz_matches_exact_path():
