@@ -755,6 +755,8 @@ def _dedup_pack(positions, siblings, leaves_np, root_np, arity):
     if sched is None:  # host-hash bucket failed byte confirmation
         return None
     content, j0, upper, m1 = sched
+    if k >= (1 << 28):  # jp = j0 << 3 | pos0 needs j0 < 2^28 (j0 < k)
+        return None  # exact per-proof path decides (unreachable in practice)
     kb = _job_bucket(k)
     sizes = (content.shape[0],) + tuple(lvl[1].shape[0] for lvl in upper)
 
