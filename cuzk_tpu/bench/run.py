@@ -63,15 +63,40 @@ def _drain(out) -> None:
         np.asarray(last[(0,) * last.ndim] if last.ndim else last)
 
 
-def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Median-free simple wall timing: warm-up (compiles), then timed loop.
-    Returns seconds per iteration."""
+def time_fn_stats(
+    fn: Callable, *args, iters: int = 10, warmup: int = 2, groups: int = 5
+) -> Dict:
+    """Grouped wall timing: warm-up (compiles), then the timed loop split
+    into up to ``groups`` chunks with ONE drain per chunk.  Within a chunk
+    dispatches stay pipelined (the hop amortizes over the chunk, as
+    before), while the per-chunk means give order statistics — so every
+    suite row can carry ``p50``/``min`` alongside the mean and a single
+    run is robust to the tunnel's >10x intra-session weather swings
+    (mean-of-iters alone blends a 30 ms hop spike into every number).
+    Returns ``{"mean_s", "p50_s", "min_s"}`` seconds per iteration."""
     for _ in range(warmup):
         _drain(fn(*args))
-    start = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    _drain(outs[-1])
-    return (time.perf_counter() - start) / iters
+    g = max(1, min(iters, groups))
+    base, extra = divmod(iters, g)
+    per, total = [], 0.0
+    for i in range(g):
+        n = base + (1 if i < extra else 0)
+        start = time.perf_counter()
+        outs = [fn(*args) for _ in range(n)]
+        _drain(outs[-1])
+        dt = time.perf_counter() - start
+        total += dt
+        per.append(dt / n)
+    return {
+        "mean_s": total / iters,
+        "p50_s": float(np.median(per)),
+        "min_s": min(per),
+    }
+
+
+def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Mean seconds per iteration (see :func:`time_fn_stats`)."""
+    return time_fn_stats(fn, *args, iters=iters, warmup=warmup)["mean_s"]
 
 
 def _rand_digits(n: int, seed: int) -> np.ndarray:
@@ -208,15 +233,17 @@ def bench_poseidon(
             eng.flush()
             return outs[-1].get()
 
-        sec = time_fn(run_config, iters=3, warmup=2) / iters
+        st = time_fn_stats(run_config, iters=3, warmup=2, groups=3)
+        st = {k: v / iters for k, v in st.items()}
     else:
         single_fn, pair_fn = _hash_fns(path)
         l = jnp.asarray(_rand_digits(batch, 42))
         r = jnp.asarray(_rand_digits(batch, 43))
         if mode == "pairs":
-            sec = time_fn(pair_fn, l, r, iters=iters, warmup=2)
+            st = time_fn_stats(pair_fn, l, r, iters=iters, warmup=2)
         else:
-            sec = time_fn(single_fn, l, iters=iters, warmup=2)
+            st = time_fn_stats(single_fn, l, iters=iters, warmup=2)
+    sec = st["mean_s"]
     per_hash_ns = sec / batch * 1e9
     hps = batch / sec
     key = f"poseidon_{mode}_hashes_per_s"
@@ -229,6 +256,8 @@ def bench_poseidon(
         "total_hashes": iters * batch,
         "ns_per_hash": round(per_hash_ns, 2),
         "hashes_per_s": round(hps, 1),
+        "hashes_per_s_p50": round(batch / st["p50_s"], 1),
+        "hashes_per_s_best": round(batch / st["min_s"], 1),
         "vs_baseline": round(hps / BASELINES[key], 4) if key in BASELINES else None,
     }
 
@@ -244,13 +273,16 @@ def bench_merkle_build(n_leaves: int, arity: int, iters: int = 3) -> Dict:
     def build(lv):
         return merkle.build_tree_levels(lv, arity)[-1]
 
-    sec = time_fn(build, leaves, iters=iters, warmup=1)
+    st = time_fn_stats(build, leaves, iters=iters, warmup=1, groups=iters)
+    sec = st["mean_s"]
     ms = sec * 1e3
     out = {
         "suite": "merkle_build",
         "leaves": n_leaves,
         "arity": arity,
         "build_ms": round(ms, 2),
+        "build_ms_p50": round(st["p50_s"] * 1e3, 2),
+        "build_ms_min": round(st["min_s"] * 1e3, 2),
         "leaves_per_s": round(n_leaves / sec, 1),
     }
     if n_leaves == 50_000:
@@ -409,7 +441,10 @@ def bench_batch_verify(
         raise SystemExit(
             "batch-verify paths disagree (kernel vs jnp vs dedup); aborting"
         )
-    sec = time_fn(verify, pos, sib, proved, root, iters=iters, warmup=1)
+    st = time_fn_stats(
+        verify, pos, sib, proved, root, iters=iters, warmup=1, groups=iters
+    )
+    sec = st["mean_s"]
     ms = sec * 1e3
     out = {
         "suite": "batch_verify",
@@ -419,10 +454,15 @@ def bench_batch_verify(
         "all_valid": ok,
         "paths_consistent": consistent,
         "verify_ms": round(ms, 2),
+        "verify_ms_p50": round(st["p50_s"] * 1e3, 2),
+        "verify_ms_min": round(st["min_s"] * 1e3, 2),
         "proofs_per_s": round(n_proofs / sec, 1),
     }
     if n_proofs == 5_000:
         out["vs_baseline"] = round(BASELINES["batch_verify_5k_ms"] / ms, 4)
+        out["vs_baseline_min"] = round(
+            BASELINES["batch_verify_5k_ms"] / (st["min_s"] * 1e3), 4
+        )
     return out
 
 
@@ -448,7 +488,8 @@ def bench_proof_generation(
         pos, sib = tree.generate_batch_proofs(ix)
         return np.asarray(pos), np.asarray(sib)
 
-    sec = time_fn(gen, idx, iters=iters, warmup=1)
+    st = time_fn_stats(gen, idx, iters=iters, warmup=1, groups=iters)
+    sec = st["mean_s"]
     pos, sib = gen(idx)
     return {
         "suite": "proof_generation",
@@ -458,6 +499,8 @@ def bench_proof_generation(
         "proof_levels": int(pos.shape[1]),
         "proof_bytes": int(pos.nbytes + sib.nbytes),
         "gen_ms": round(sec * 1e3, 2),
+        "gen_ms_p50": round(st["p50_s"] * 1e3, 2),
+        "gen_ms_min": round(st["min_s"] * 1e3, 2),
         "proofs_per_s": round(n_proofs / sec, 1),
     }
 
@@ -524,38 +567,40 @@ def bench_batch_verify_resident(
     if packed_sched is None:
         raise SystemExit("dedup pack declined on honest proofs; aborting")
     sizes, kb, lu, packed_np = packed_sched
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        merkle._dedup_pack(pos, sib, proved, root, arity)
-    schedule_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    def pack():
+        return merkle._dedup_pack(pos, sib, proved, root, arity)
+
+    sched_st = time_fn_stats(pack, iters=iters, warmup=0, groups=iters)
 
     # Phase 2: upload (H2D of the single packed buffer).  jax.device_put
     # creates a fresh buffer each call; warm-up outside the timer.
-    _drain(jax.device_put(packed_np))
-    t0 = time.perf_counter()
-    uploads = [jax.device_put(packed_np) for _ in range(iters)]
-    _drain(uploads[-1])
-    upload_ms = (time.perf_counter() - t0) / iters * 1e3
+    up_st = time_fn_stats(
+        lambda: jax.device_put(packed_np), iters=iters, warmup=1
+    )
 
     # Phase 3: device-resident fused verify.
-    packed_dev = uploads[-1]
+    packed_dev = jax.device_put(packed_np)
     run = merkle._dedup_verify_fused
     flags = np.asarray(run(arity, sizes, kb, lu, packed_dev))
     ok = bool(flags[0]) and bool(flags[1])
-    # Pipelined: dispatches queue asynchronously; one tiny readback at the
-    # end forces completion of the whole chain.
-    t0 = time.perf_counter()
-    outs = [
-        run(arity, sizes, kb, lu, packed_dev) for _ in range(iters)
-    ]
-    np.asarray(outs[-1])
-    device_ms = (time.perf_counter() - t0) / iters * 1e3
+    # Pipelined: dispatches queue asynchronously; one tiny readback per
+    # group forces completion of that chunk (hop amortized over the chunk).
+    dev_st = time_fn_stats(
+        lambda: run(arity, sizes, kb, lu, packed_dev), iters=iters, warmup=0
+    )
     # Synchronous: flags read back each iteration (adds one tunnel hop).
     t0 = time.perf_counter()
     for _ in range(iters):
         np.asarray(run(arity, sizes, kb, lu, packed_dev))
     device_sync_ms = (time.perf_counter() - t0) / iters * 1e3
 
+    schedule_ms = sched_st["mean_s"] * 1e3
+    upload_ms = up_st["mean_s"] * 1e3
+    device_ms = dev_st["mean_s"] * 1e3
+    software_min = (
+        sched_st["min_s"] + up_st["min_s"] + dev_st["min_s"]
+    ) * 1e3
     out = {
         "suite": "batch_verify_resident",
         "proofs": n_proofs,
@@ -564,11 +609,15 @@ def bench_batch_verify_resident(
         "all_valid": ok,
         "iters": iters,
         "schedule_ms": round(schedule_ms, 2),
+        "schedule_ms_min": round(sched_st["min_s"] * 1e3, 2),
         "upload_bytes": int(packed_np.nbytes),
         "upload_ms": round(upload_ms, 2),
+        "upload_ms_min": round(up_st["min_s"] * 1e3, 2),
         "device_ms": round(device_ms, 3),
+        "device_ms_min": round(dev_st["min_s"] * 1e3, 3),
         "device_sync_ms": round(device_sync_ms, 2),
         "software_ms": round(schedule_ms + upload_ms + device_ms, 2),
+        "software_ms_min": round(software_min, 2),
         "unique_jobs": int(sum(sizes)),
     }
     if n_proofs == 5_000:
@@ -577,6 +626,9 @@ def bench_batch_verify_resident(
         )
         out["vs_baseline_software"] = round(
             BASELINES["batch_verify_5k_ms"] / out["software_ms"], 4
+        )
+        out["vs_baseline_software_min"] = round(
+            BASELINES["batch_verify_5k_ms"] / software_min, 4
         )
     return out
 
@@ -621,13 +673,16 @@ def bench_sharded_build(
     def build(lv):
         return distributed.sharded_merkle_root(lv, arity, mesh)
 
-    sec = time_fn(build, leaves, iters=iters, warmup=1)
+    st = time_fn_stats(build, leaves, iters=iters, warmup=1, groups=iters)
+    sec = st["mean_s"]
     return {
         "suite": "sharded_build",
         "leaves": n_leaves,
         "arity": arity,
         "devices": d,
         "build_ms": round(sec * 1e3, 2),
+        "build_ms_p50": round(st["p50_s"] * 1e3, 2),
+        "build_ms_min": round(st["min_s"] * 1e3, 2),
         "leaves_per_s": round(n_leaves / sec, 1),
     }
 

@@ -739,12 +739,17 @@ def _dedup_pack(positions, siblings, leaves_np, root_np, arity):
     #    pos, so an attacker-controlled pos >= arity or < 0 could alias
     #    two distinct suffixes/groups without its data ever being hashed;
     #  - digits must be canonical 16-bit: the packed upload stores two
-    #    digits per word, so d and d + 2^16 would alias.
+    #    digits per word, so d and d + 2^16 would alias;
+    #  - arity must be within the reference's MAX_ARITY=8 domain
+    #    (merkle_tree.hpp:20): the jp word packs pos0 in 3 bits, so a
+    #    direct verify_all call with arity > 8 would silently mis-decode
+    #    j0/pos0 instead of declining.
     # Either way the exact per-proof path decides (it inserts nothing at
     # an out-of-range position and hashes full-width digits, rejecting
     # such proofs), preserving bit-exact reference semantics.
     if (
-        positions.min(initial=0) < 0
+        arity > MAX_ARITY
+        or positions.min(initial=0) < 0
         or positions.max(initial=0) >= arity
         or leaves_np.max(initial=0) >> 16
         or root_np.max(initial=0) >> 16
@@ -1252,8 +1257,16 @@ def save_tree(tree: "NaryMerkleTree", path: str) -> None:
     )
 
 
-def load_tree(path: str) -> "NaryMerkleTree":
-    """Restore a tree saved by :func:`save_tree` without rehashing."""
+def load_tree(path: str, verify: bool = False) -> "NaryMerkleTree":
+    """Restore a tree saved by :func:`save_tree` without rehashing.
+
+    ``verify=True`` rebuilds every level from the stored leaves and
+    compares bit-for-bit — the check :func:`save_tree`'s docstring tells
+    callers to do by hand for files crossing a trust boundary (cost: one
+    full build).  A root-only check would miss a tampered intermediate
+    level whose root happens to still chain correctly; comparing all
+    levels does not.  Raises :class:`~cuzk_tpu.utils.errors.ComputationError`
+    on any mismatch."""
     with np.load(path) as data:
         arity = int(data["arity"])
         num_leaves = int(data["num_leaves"])
@@ -1262,6 +1275,16 @@ def load_tree(path: str) -> "NaryMerkleTree":
             jnp.asarray(data[f"level_{i}"], jnp.uint32)
             for i in range(n_levels)
         ]
+    if verify:
+        rebuilt = build_tree_levels(levels[0], arity)
+        if len(rebuilt) != len(levels) or any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(rebuilt, levels)
+        ):
+            raise errors.ComputationError(
+                f"loaded tree failed verification: stored levels do not "
+                f"match a rebuild from the stored leaves ({path})"
+            )
     tree = NaryMerkleTree(config=MerkleConfig(arity))
     tree._num_leaves = num_leaves
     tree._levels = levels

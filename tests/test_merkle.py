@@ -309,6 +309,30 @@ def test_save_load_tree_roundtrip(tmp_path):
         merkle.save_tree(merkle.NaryMerkleTree(), path)
 
 
+def test_load_tree_verify_flag(tmp_path):
+    """load_tree(verify=True) accepts an honest file and rejects a
+    tampered one — including a tampered INTERMEDIATE level whose root is
+    untouched (a root-only check would miss it)."""
+    xs = [rng.randrange(oracle.P) for _ in range(9)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity=2))
+    path = str(tmp_path / "tree.npz")
+    merkle.save_tree(tree, path)
+    loaded = merkle.load_tree(path, verify=True)
+    assert loaded.root_int() == tree.root_int()
+
+    with np.load(path) as data:
+        payload = {k: data[k].copy() for k in data.files}
+    payload["level_1"][0, 0] ^= 1  # intermediate level, root untouched
+    bad = str(tmp_path / "bad.npz")
+    np.savez_compressed(bad, **payload)
+    from cuzk_tpu.utils import errors
+
+    with pytest.raises(errors.ComputationError):
+        merkle.load_tree(bad, verify=True)
+    # without the flag, the tampered file loads (trusted-data fast path)
+    assert merkle.load_tree(bad).get_leaf_count() == 9
+
+
 # ---------------------------------------------------------------------------
 # Deduplicated batch verification (merkle.verify_all with dedupe=True):
 # must agree with the per-proof path in every case, including tampered
@@ -551,6 +575,22 @@ def test_dedup_range_gate_rejects_oversized_digits():
     got = merkle.verify_all(pos, sib, proved, root, arity, dedupe=True)
     want = merkle.verify_all(pos, sib, proved, root, arity, dedupe=False)
     assert got == want == False  # noqa: E712
+
+
+def test_dedup_gate_declines_arity_above_8():
+    """The jp word packs pos0 in 3 bits (reference MAX_ARITY=8,
+    merkle_tree.hpp:20); a direct _dedup_pack call with arity > 8 must
+    decline (return None) so verify_all falls to the exact path instead
+    of silently mis-decoding j0/pos0 (round-4 advisor finding)."""
+    k, h, arity = 8, 2, 9
+    pos = np.zeros((k, h), np.int32)
+    sib = np.zeros((k, h, arity - 1, 16), np.uint32)
+    leaves = np.zeros((k, 16), np.uint32)
+    root = np.zeros(16, np.uint32)
+    assert merkle._dedup_pack(pos, sib, leaves, root, arity) is None
+    # the reference's full arity domain still packs
+    sib8 = np.zeros((k, h, 7, 16), np.uint32)
+    assert merkle._dedup_pack(pos, sib8, leaves, root, 8) is not None
 
 
 def test_dedup_verify_duplicate_full_suffix_conflict():
