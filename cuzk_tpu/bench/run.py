@@ -563,10 +563,10 @@ def bench_batch_verify_resident(
     root = np.asarray(tree.get_root_hash(), np.uint32)
 
     # Phase 1: host schedule build + packing (pure numpy).
-    packed_sched = merkle._dedup_pack(pos, sib, proved, root, arity)
-    if packed_sched is None:
+    wire = merkle._dedup_pack(pos, sib, proved, root, arity)
+    if wire is None:
         raise SystemExit("dedup pack declined on honest proofs; aborting")
-    sizes, kb, lu, packed_np = packed_sched
+    packed_np = wire.packed
 
     def pack():
         return merkle._dedup_pack(pos, sib, proved, root, arity)
@@ -581,18 +581,21 @@ def bench_batch_verify_resident(
 
     # Phase 3: device-resident fused verify.
     packed_dev = jax.device_put(packed_np)
-    run = merkle._dedup_verify_fused
-    flags = np.asarray(run(arity, sizes, kb, lu, packed_dev))
+
+    def dispatch():
+        return merkle._dedup_verify_fused(
+            arity, wire.sizes, wire.kb, wire.tb, wire.lm16, packed_dev
+        )
+
+    flags = np.asarray(dispatch()[0])
     ok = bool(flags[0]) and bool(flags[1])
     # Pipelined: dispatches queue asynchronously; one tiny readback per
     # group forces completion of that chunk (hop amortized over the chunk).
-    dev_st = time_fn_stats(
-        lambda: run(arity, sizes, kb, lu, packed_dev), iters=iters, warmup=0
-    )
+    dev_st = time_fn_stats(dispatch, iters=iters, warmup=0)
     # Synchronous: flags read back each iteration (adds one tunnel hop).
     t0 = time.perf_counter()
     for _ in range(iters):
-        np.asarray(run(arity, sizes, kb, lu, packed_dev))
+        np.asarray(dispatch()[0])
     device_sync_ms = (time.perf_counter() - t0) / iters * 1e3
 
     schedule_ms = sched_st["mean_s"] * 1e3
@@ -618,7 +621,7 @@ def bench_batch_verify_resident(
         "device_sync_ms": round(device_sync_ms, 2),
         "software_ms": round(schedule_ms + upload_ms + device_ms, 2),
         "software_ms_min": round(software_min, 2),
-        "unique_jobs": int(sum(sizes)),
+        "unique_jobs": int(sum(wire.sizes)),
     }
     if n_proofs == 5_000:
         out["vs_baseline_device"] = round(

@@ -33,7 +33,7 @@ from __future__ import annotations
 import contextlib
 import functools
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import List, NamedTuple, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -409,6 +409,27 @@ def _unique_keys(keys: np.ndarray):
     return first.astype(np.int32), inv.reshape(-1).astype(np.int32)
 
 
+_native_sched = None
+
+
+def _native_scheduler():
+    """The native exact-grouping module (cuzk_tpu.native, scheduler.cpp),
+    or ``False`` when it cannot build/load.  Native grouping keys its
+    hash table by the FULL row bytes (probes byte-compare, never trust a
+    hash), so it is exact by construction: no confirmation pass and no
+    collision-decline path, at C speed — the numpy bucket-and-confirm
+    path below stays as the portable fallback and differential check."""
+    global _native_sched
+    if _native_sched is None:
+        try:
+            from cuzk_tpu import native
+
+            _native_sched = native if native.scheduler_available() else False
+        except Exception:
+            _native_sched = False
+    return _native_sched
+
+
 def _hash_u64_rows(u: np.ndarray) -> np.ndarray:
     """Bucketing hash over the trailing axis of an (arbitrarily strided)
     ``[..., w] uint64`` array — the same multiply-sum + avalanche as
@@ -484,7 +505,7 @@ def _dedup_schedule(
     the exact per-proof path: dedup can never silently merge proofs whose
     data differs.
 
-    Returns ``(content, j0, upper, m1)``:
+    Returns ``(content, j0, upper, m1, iso)``:
       - ``content``: bucketed ``[n0b, arity, 16]`` unique level-0 groups;
       - ``j0[i]``: proof i's content-job id (< n0, unbucketed);
       - ``upper[L-1]`` for L = 1..h-1: ``(ent_idx, pos, sibs, checks)``
@@ -496,7 +517,13 @@ def _dedup_schedule(
       - ``m1[i]``: proof i's level-1 job id (``None`` when h == 1).  A
         level-0 content job can feed MANY level-1 parents (members'
         upper paths may differ), so level 0's edges are checked
-        per-proof on device: ``out0[j0[i]] == out0[ent_idx1[m1[i]]]``.
+        per-proof on device: ``out0[j0[i]] == out0[ent_idx1[m1[i]]]``;
+      - ``iso = (keys, counts, parents)``: the proof->job chain map used
+        for per-proof failure isolation (:func:`_suspect_mask`) —
+        ``keys[L][i]`` is proof i's level-L job id, ``counts[L]`` the
+        actual (unbucketed) job count, ``parents[L][j]`` level-L job j's
+        level-L+1 job (present for L = 1..h-2, the job levels whose
+        merge checks ride the wire).
     """
     k, h = positions.shape
     arity = siblings.shape[2] + 1
@@ -512,19 +539,23 @@ def _dedup_schedule(
     col = j[None, :] + (j[None, :] >= pos0[:, None])  # sibling j's column
     content[np.arange(k)[:, None], col] = siblings[:, 0]
     content[np.arange(k), pos0] = leaves[:k]
-    c_u8 = content.reshape(k, -1).view(np.uint8)
-    c_u64 = c_u8.view("<u8")
-    cfirst, j0 = _unique_keys(_row_hash_u64(c_u8))
-    if not _confirm_buckets(c_u64, cfirst, j0):
-        return None  # host-hash collision: only the exact path decides
+    nat = _native_scheduler()
+    if nat:
+        cfirst, j0 = nat.group_rows(content.reshape(k, -1))
+    else:
+        c_u8 = content.reshape(k, -1).view(np.uint8)
+        cfirst, j0 = _unique_keys(_row_hash_u64(c_u8))
+        if not _confirm_buckets(c_u8.view("<u8"), cfirst, j0):
+            return None  # host-hash collision: only the exact path decides
     content_b = _pad_rows(content[cfirst], _job_bucket(len(cfirst)))
 
     if h == 1:
-        return content_b, j0, [], None
+        return content_b, j0, [], None, ([j0], (len(cfirst),), {})
 
     # ---- Levels >= 1: suffix group ids, root-down ----------------------
-    # Per-level sibling-row hashes in one strided pass ([k, h-1] uint64).
-    sib_keys = _hash_u64_rows(sib_u64[:, 1:])
+    # Per-level sibling-row hashes in one strided pass ([k, h-1] uint64);
+    # only the numpy fallback needs them (native hashes rows in C).
+    sib_keys = None if nat else _hash_u64_rows(sib_u64[:, 1:])
     gid = np.zeros(k, np.int64)
     ident = np.arange(k, dtype=np.int32)
     saturated = False  # every proof already its own suffix group?
@@ -538,6 +569,14 @@ def _dedup_schedule(
             # through reps/keys only), so use the identity instead of
             # re-sorting k packed keys per remaining level.
             reps[L], keys[L] = ident, ident
+            continue
+        if nat:
+            # Exact row ids and exact suffix triples from the native
+            # hash-map grouper (no width limits, no confirmation pass).
+            _rf, rid = nat.group_rows(sib_u64[:, L])
+            reps[L], keys[L] = nat.group_triples(gid, rid, positions[:, L])
+            gid = keys[L].astype(np.int64)
+            saturated = len(reps[L]) == k
             continue
         # Row-equality ids: bucket by hash, then CONFIRM byte equality
         # against each bucket's representative — after confirmation, rid
@@ -572,6 +611,7 @@ def _dedup_schedule(
 
     keys[0] = j0  # level-0 job id per proof (content-keyed)
     upper = []
+    parents = {}
     for L in range(1, h):
         r = reps[L]
         ub = _job_bucket(len(r))
@@ -588,12 +628,14 @@ def _dedup_schedule(
         checks = np.zeros(0, np.int32)
         if L > 1:
             parent = keys[L][reps[L - 1]]  # level-L job of each L-1 job
+            parents[L - 1] = parent
             checks = _pad_rows(
                 ent_idx[parent].reshape(-1, 1), _job_bucket(len(parent))
             ).ravel()
         upper.append((ent_idx, pos, sibs, checks))
 
-    return content_b, j0, upper, keys[1]
+    counts = (len(cfirst),) + tuple(len(reps[L]) for L in range(1, h))
+    return content_b, j0, upper, keys[1], (list(keys), counts, parents)
 
 
 # Packed 16-bit wire format, shared with the hash path (fr.pack16 docs
@@ -602,85 +644,98 @@ _pack16_host = fr.pack16
 _unpack16 = fr.unpack16
 
 
-def _dedup_verify_levels(arity, sizes, kb, lu, packed):
+def _dedup_verify_levels(arity, sizes, kb, tb, lm16, packed):
     """Device program: one hash per unique tree node touched, level by
-    level, with the merge-consistency checks accumulated into one scalar.
+    level, with merge-consistency checks both accumulated into scalar
+    flags (the all-or-nothing fast path) and returned as per-proof /
+    per-job masks (failure isolation: the host maps a failed check back
+    to the proofs whose chains touch it and re-verifies only those).
 
     The whole schedule arrives as ONE flat uint32 vector ``packed`` —
-    ``[leaf table | root (8) | idx section | content groups
-    (n0 x arity x 8) | sibling rows (sum n_L x (arity-1) x 8, L >= 1)]``
-    with all digit data 16-bit-packed two-per-word (:func:`_pack16_host`;
-    the host range-gates digits first).  The static ``lu`` selects the
-    leaf-table layout: ``lu == 0`` is DENSE (one row per proof, kb x 8
-    packed words); ``lu > 0`` is COMPACT — ``lu`` byte-deduped unique leaf
-    rows plus a per-proof index ``lidx`` in the idx section.  Compact
-    saves most of the upload when proofs repeatedly claim the same leaves
-    (the reference's own 5K-proof benchmark proves 1024 leaves ~5x each:
-    163 KB of claimed-leaf rows shrink to 33 KB + 20 KB of u32 indices).
+    ``[value table (tb x 8) | root (8) | idx section | cidx
+    (n0 x arity) | sidx (sum n_L x (arity-1), L >= 1)]``.  Every 256-bit
+    value the verification touches — claimed leaves, level-0 group
+    members, upper sibling nodes — lives ONCE in the byte-deduped value
+    table (16-bit digits packed two per word, host range-gated); all
+    other sections are u32 table/job indices.  Sharing one table across
+    roles is what shrinks the wire: the reference's own 5K-proof
+    benchmark re-proves 1024 leaves ~5x each, so its claimed-leaf rows,
+    content groups and sibling rows are mostly the SAME values (164 KB
+    of per-section data dedupes to ~100 KB), and because the host
+    byte-confirms the table, value equality IS index equality — the
+    leaf-binding check becomes an integer compare.
+
     The idx section is ``[jp (kb: j0 << 3 | pos0 — pos0 < arity <= 8
     needs 3 bits, j0 < k < 2^28 by the schedule's own packing bound) |
-    lidx (kb, compact only) | m1 (kb, h > 1 only) | per level L >= 1:
-    ent_idx(n_L) pos(n_L) | per level L >= 2: checks(n_{L-1})]``, sliced
-    here by the static ``sizes`` (n0 = content jobs, then suffix-job
-    counts).  One upload + one fused dispatch + one tiny readback: on the
-    tunneled TPU each dependent host<->device hop costs ~3-33 ms and
-    upload bandwidth swings 5-330 MB/s, so both the byte count and the
-    dispatch count are minimized.
+    lm (h == 1: lidx; h > 1 packed lm16: lidx << 16 | m1, one word;
+    else lidx then m1, kb each) | per level L >= 1: ent_idx(n_L)
+    pos(n_L) | per level L >= 2: checks(n_{L-1})]``, sliced by the
+    static ``sizes`` (n0 = content jobs, then suffix-job counts).  One
+    upload + one fused dispatch + one tiny readback: on the tunneled TPU
+    each dependent host<->device hop costs ~3-33 ms and upload bandwidth
+    swings 5-330 MB/s, so byte count and dispatch count are minimized.
 
-    Checks (all must pass or the caller falls back to the exact path):
-      - leaf binding: every proof's claimed leaf equals the value at its
-        position inside its content job (content[j0[i], pos0[i]]);
-        compact is sound because the host byte-confirms the leaf table
-        (``leaf_rows[lidx[i]]`` byte-equals the caller's ``leaves[i]``);
+    Checks:
+      - leaf binding: every proof's claimed-leaf table index equals the
+        index at its position inside its content job (cidx[j0[i],
+        pos0[i]] == lidx[i]; the host computed the two sides by
+        independent paths — group scatter vs direct leaf lookup — so
+        this genuinely re-checks the host's merge);
       - level-0 edges (h > 1): out0[j0[i]] == out0[ent_idx1[m1[i]]] —
         a content job can feed many level-1 parents, so edges are
         per-proof;
       - levels >= 1: each level-L job's output equals the entering value
         its (unique) parent used;
       - root: every last-level output equals the root.
-    Returns ``[checks_ok, roots_ok] bool``."""
+    Returns ``(flags, bad)``: ``flags = [checks_ok, roots_ok] bool``;
+    ``bad = [per-proof bad (kb) | per-job check fails (sizes[1..h-2]) |
+    per-job root fails (sizes[h-1])] bool`` (read back only on
+    failure)."""
     nd = fr.NDIGITS
     hw = nd // 2  # packed words per element
     h = len(sizes)
     n0 = sizes[0]
     upper_sizes = sizes[1:]
     total_upper = sum(upper_sizes)
-    nl = lu if lu else kb
-    per_proof = 1 + (1 if lu else 0) + (1 if h > 1 else 0)
+    per_proof = 2 if (h == 1 or lm16) else 3
     idx_len = (
         per_proof * kb
         + sum(2 * n for n in upper_sizes)
         + sum(sizes[L - 1] for L in range(2, h))
     )
-    o = nl * hw
-    leaf_rows = _unpack16(packed[:o].reshape(nl, hw))
+    o = tb * hw
+    table = _unpack16(packed[:o].reshape(tb, hw))  # [tb, 16]
     root = _unpack16(packed[o : o + hw])
     o += hw
     idx_all = packed[o : o + idx_len].astype(jnp.int32)
     o += idx_len
-    content = _unpack16(
-        packed[o : o + n0 * arity * hw].reshape(n0, arity, hw)
+    cidx = packed[o : o + n0 * arity].astype(jnp.int32).reshape(n0, arity)
+    o += n0 * arity
+    sidx = (
+        packed[o : o + total_upper * (arity - 1)]
+        .astype(jnp.int32)
+        .reshape(total_upper, arity - 1)
+        if total_upper
+        else None
     )
-    o += n0 * arity * hw
-    sibs_all = _unpack16(
-        packed[o : o + total_upper * (arity - 1) * hw].reshape(
-            total_upper, arity - 1, hw
-        )
-    ) if total_upper else None
 
     jp = idx_all[:kb]
     j0 = jp >> 3
     pos0 = jp & 7
     io = kb
-    lidx = None
-    if lu:
+    m1 = None
+    if h == 1:
         lidx = idx_all[io : io + kb]
         io += kb
-    leaves_p = leaf_rows[lidx] if lu else leaf_rows
-    m1 = None
-    if h > 1:
-        m1 = idx_all[io : io + kb]
+    elif lm16:
+        w = idx_all[io : io + kb]
+        lidx = w >> 16
+        m1 = w & 0xFFFF
         io += kb
+    else:
+        lidx = idx_all[io : io + kb]
+        m1 = idx_all[io + kb : io + 2 * kb]
+        io += 2 * kb
     ents, poss = [], []
     for n in upper_sizes:
         ents.append(idx_all[io : io + n])
@@ -693,44 +748,76 @@ def _dedup_verify_levels(arity, sizes, kb, lu, packed):
         io += c
 
     # Level 0: hash the unique content groups; bind each proof's claimed
-    # leaf to its slot inside its content job.
+    # leaf to its slot inside its content job (indices into the confirmed
+    # table, so an integer compare is exact value equality).
+    content = table[cidx]  # [n0, arity, 16]
     out = _engine_hash_multiple(content)  # [n0, 16]
-    claimed = content[j0, pos0]  # [kb, 16]
-    ok = jnp.all(claimed == leaves_p)
+    proof_bad = cidx[j0, pos0] != lidx  # [kb]
     if h > 1:
         # Per-proof level-0 edge check (see docstring).
-        ok = jnp.logical_and(ok, jnp.all(out[j0] == out[ents[0][m1]]))
+        proof_bad = jnp.logical_or(
+            proof_bad, jnp.any(out[j0] != out[ents[0][m1]], axis=-1)
+        )
+    ok = jnp.logical_not(jnp.any(proof_bad))
+    check_bads = []
     so = 0
     for i, n in enumerate(upper_sizes):
         L = i + 1
         ent = out[ents[i]]
-        sibs = sibs_all[so : so + n]
+        sibs = table[sidx[so : so + n]]  # [n, arity-1, 16]
         so += n
         group = _insert_at_position(ent, poss[i], sibs, arity)
         new_out = _engine_hash_multiple(group)
         if L + 1 < h:
-            ok = jnp.logical_and(
-                ok, jnp.all(new_out == new_out[checks[L + 1]])
-            )
+            cb = jnp.any(new_out != new_out[checks[L + 1]], axis=-1)
+            check_bads.append(cb)
+            ok = jnp.logical_and(ok, jnp.logical_not(jnp.any(cb)))
         out = new_out
-    roots_ok = jnp.all(out == root[None, :])
-    return jnp.stack([ok, roots_ok])
+    root_bad = jnp.any(out != root[None, :], axis=-1)
+    roots_ok = jnp.logical_not(jnp.any(root_bad))
+    flags = jnp.stack([ok, roots_ok])
+    bad = jnp.concatenate([proof_bad, *check_bads, root_bad])
+    return flags, bad
 
 
 _dedup_verify_fused = jax.jit(
-    _dedup_verify_levels, static_argnums=(0, 1, 2, 3)
+    _dedup_verify_levels, static_argnums=(0, 1, 2, 3, 4)
 )
 
 
+class _Wire(NamedTuple):
+    """A packed dedup-verify schedule ready for upload.  ``sizes``/``kb``/
+    ``tb``/``lm16`` are the device program's static arguments (bucketed
+    job counts, proof bucket, value-table bucket, lidx|m1 word-packing
+    flag); ``packed`` is the single host uint32 upload buffer (layout on
+    :func:`_dedup_verify_levels`); ``iso`` is the host-only proof->job
+    chain map for failure isolation (:func:`_suspect_mask`)."""
+
+    sizes: tuple
+    kb: int
+    tb: int
+    lm16: bool
+    packed: np.ndarray
+    iso: tuple
+
+
+def _table_bucket(u: int) -> int:
+    """Value-table lengths pad so executables are reused across batches:
+    powers of two up to 1024, then multiples of 256 (table rows are only
+    gathered — no hash-tile granularity constraint — so the padding costs
+    upload bytes only and 256 keeps it under ~12%)."""
+    if u >= 1024:
+        return ((u + 255) // 256) * 256
+    return max(64, 1 << (u - 1).bit_length())
+
+
 def _dedup_pack(positions, siblings, leaves_np, root_np, arity):
-    """Host phase of the deduped verify: range gates, schedule build, and
-    single-buffer packing.  Returns ``(sizes, kb, lu, packed_np)`` with
-    ``packed_np`` the host uint32 buffer and ``lu`` the compact
-    leaf-table length (0 = dense; layout documented on
-    :func:`_dedup_verify_levels`), or ``None`` when the dedup path cannot
-    soundly decide and the exact per-proof path must.  Split out so the
-    benchmark can time host-schedule / upload / device-dispatch phases
-    separately (``bench_batch_verify_resident``)."""
+    """Host phase of the deduped verify: range gates, schedule build,
+    value-table dedup, and single-buffer packing.  Returns a
+    :class:`_Wire`, or ``None`` when the dedup path cannot soundly decide
+    and the exact per-proof path must.  Split out so the benchmark can
+    time host-schedule / upload / device-dispatch phases separately
+    (``bench_batch_verify_resident``)."""
     k = positions.shape[0]
     # Range gates — cheap host checks BEFORE the schedule build, because a
     # tripped gate discards everything built after it:
@@ -759,75 +846,145 @@ def _dedup_pack(positions, siblings, leaves_np, root_np, arity):
     sched = _dedup_schedule(positions, siblings, leaves_np)
     if sched is None:  # host-hash bucket failed byte confirmation
         return None
-    content, j0, upper, m1 = sched
+    content, j0, upper, m1, iso = sched
     if k >= (1 << 28):  # jp = j0 << 3 | pos0 needs j0 < 2^28 (j0 < k)
         return None  # exact per-proof path decides (unreachable in practice)
     kb = _job_bucket(k)
     sizes = (content.shape[0],) + tuple(lvl[1].shape[0] for lvl in upper)
+    n0b = content.shape[0]
 
-    # Compact leaf table: byte-dedup the claimed-leaf rows (same hash-
-    # bucket-then-confirm discipline as the schedule itself, so a crafted
-    # collision degrades to the dense layout, never to unsoundness) and
-    # ship ``lu`` unique rows + a per-proof u32 index instead of one row
-    # per proof.  Only when it actually shrinks the buffer: lu * hw + kb
-    # index words vs kb * hw dense words.
-    hw = fr.NDIGITS // 2
+    # Value table: byte-dedup EVERY 256-bit value on the wire — content
+    # group members, upper sibling nodes, and the claimed leaves — into
+    # one table, and ship u32 table indices in their place (same
+    # hash-bucket-then-confirm discipline as the schedule itself, so a
+    # crafted collision degrades to declining, never to unsoundness).
+    # The claimed leaves ride V too even though each one is already a
+    # content member: their indices (lidx) come from a direct lookup
+    # while cidx comes from the group scatter, so the device's binding
+    # compare re-checks the host's merge through independent paths.
     leaves_k = np.ascontiguousarray(leaves_np[:k])
-    lfirst, linv = _unique_keys(
-        _row_hash_u64(leaves_k.reshape(k, -1).view(np.uint8))
+    V = np.concatenate(
+        [content.reshape(-1, fr.NDIGITS)]
+        + [lvl[2].reshape(-1, fr.NDIGITS) for lvl in upper]
+        + [leaves_k],
+        axis=0,
     )
-    lu = 0
-    lu_b = _job_bucket(len(lfirst))  # bucketed so executables are reused
-    if (
-        lu_b * hw + kb < kb * hw
-        and _confirm_buckets(leaves_k.view("<u8"), lfirst, linv)
-    ):
-        lu = lu_b
+    nat = _native_scheduler()
+    if nat:
+        vfirst, vinv = nat.group_rows(V)
+    else:
+        vfirst, vinv = _unique_keys(_hash_u64_rows(V.view("<u8")))
+        if not _confirm_buckets(V.view("<u8"), vfirst, vinv):
+            return None  # host-hash collision: only the exact path decides
+    tb = _table_bucket(len(vfirst))
+    vinv = vinv.astype(np.uint32)
+    e0 = n0b * arity
+    eu = sum(lvl[2].shape[0] for lvl in upper) * (arity - 1)
+    cidx = vinv[:e0]
+    sidx = vinv[e0 : e0 + eu]
+    lidx = vinv[e0 + eu :]
 
-    # Pack leaves, root, every index vector, the content groups, and every
-    # sibling row into ONE uint32 upload (layout documented on
+    # Pack the table, root, every index vector, and the group/sibling
+    # table references into ONE uint32 upload (layout documented on
     # _dedup_verify_levels), digit data two-digits-per-word.  j0 and pos0
     # ride one word (j0 << 3 | pos0): pos0 < arity <= 8 and j0 < k < 2^28
-    # (the schedule's own suffix-packing bound).
+    # (the schedule's own suffix-packing bound); lidx and m1 share one
+    # word whenever both fit 16 bits (any table/job count < 65536 — all
+    # but enormous batches).
     jp = (j0.astype(np.uint32) << np.uint32(3)) | positions[:, 0].astype(
         np.uint32
     )
     parts = [
-        _pack16_host(
-            _pad_rows(leaves_k[lfirst], lu)
-            if lu
-            else _pad_rows(leaves_k, kb)
-        ).ravel(),
+        _pack16_host(_pad_rows(V[vfirst], tb)).ravel(),
         _pack16_host(root_np).ravel(),
         _pad_rows(jp.reshape(-1, 1), kb).ravel(),
     ]
-    if lu:
-        parts.append(
-            _pad_rows(linv.reshape(-1, 1), kb).ravel().astype(np.uint32)
-        )
-    if m1 is not None:
-        parts.append(_pad_rows(m1.reshape(-1, 1), kb).ravel().astype(np.uint32))
+    lm16 = False
+    lidx_b = _pad_rows(lidx.reshape(-1, 1), kb).ravel()
+    if m1 is None:
+        parts.append(lidx_b)
+    else:
+        m1_b = _pad_rows(m1.reshape(-1, 1), kb).ravel().astype(np.uint32)
+        # lidx < 2^15 (not 2^16): the device decodes the idx section as
+        # int32, so the packed word must stay below 2^31 or the >> 16
+        # would arithmetic-shift a sign bit into the index.
+        lm16 = len(vfirst) < (1 << 15) and int(m1_b.max(initial=0)) < (1 << 16)
+        if lm16:
+            parts.append((lidx_b << np.uint32(16)) | m1_b)
+        else:
+            parts.append(lidx_b)
+            parts.append(m1_b)
     for ent_idx, pos, _sibs, _checks in upper:
         parts.append(ent_idx.astype(np.uint32))
         parts.append(pos.astype(np.uint32))
     for _ent, _pos, _sibs, checks in upper[1:]:
         parts.append(checks.astype(np.uint32))
-    parts.append(_pack16_host(content).ravel())
-    for lvl in upper:
-        parts.append(_pack16_host(lvl[2]).ravel())
-    return sizes, kb, lu, np.concatenate(parts)
+    parts.append(cidx)
+    parts.append(sidx)
+    return _Wire(sizes, kb, tb, lm16, np.concatenate(parts), iso)
 
 
-def _verify_all_deduped(positions, siblings, leaves, root, arity):
-    """Deduped all-or-nothing verify.  Returns True/False, or None when a
-    merge check failed and the exact per-proof path must decide."""
-    leaves_np = np.asarray(leaves, np.uint32)
-    root_np = np.asarray(root, np.uint32)
-    packed_sched = _dedup_pack(positions, siblings, leaves_np, root_np, arity)
-    if packed_sched is None:
+def _suspect_mask(bad: np.ndarray, wire: _Wire, k: int):
+    """Map the device's failure masks back to proofs.  Returns
+    ``(suspects, root_false)``, both ``[k] bool``:
+
+    - ``suspects``: proofs whose chains touch a failed binding/edge/merge
+      check — their provenance is disputed, so only exact re-verification
+      decides them.  Per-proof fails mark the proof directly; a failed
+      merge check at level-L job j means job j's output differs from the
+      entering value its PARENT consumed — every proof routed through
+      that parent (keys[L+1] == parents[L][j]) used an entering value of
+      disputed provenance, and any proof routed through job j itself
+      shares the same parent (suffix refinement), so marking by parent
+      covers both;
+    - ``root_false``: non-suspect proofs whose last-level job missed the
+      root.  For a check-CLEAN chain the dedup recomputation IS the
+      proof's own recomputation (the soundness argument), so a root
+      mismatch is definitive — no re-verification needed (a wrong root
+      over a 50K batch costs the dedup pass alone, not a full exact
+      pass).
+    Padded rows/jobs replicate index 0, so slicing to the actual counts
+    first never drops a failure (a padded failure implies index 0's)."""
+    sizes, kb = wire.sizes, wire.kb
+    keys, counts, parents = wire.iso
+    h = len(sizes)
+    suspects = bad[:kb][:k].copy()
+    off = kb
+    for ell in range(1, h - 1):
+        seg = bad[off : off + sizes[ell]][: counts[ell]]
+        off += sizes[ell]
+        bj = np.flatnonzero(seg)
+        if len(bj):
+            suspects |= np.isin(keys[ell + 1], parents[ell][bj])
+    seg = bad[off : off + sizes[h - 1]][: counts[h - 1]]
+    bj = np.flatnonzero(seg)
+    root_false = np.zeros(k, bool)
+    if len(bj):
+        root_false = np.isin(keys[h - 1], bj) & ~suspects
+    return suspects, root_false
+
+
+def _dedup_results(positions, siblings, leaves_np, root_np, arity):
+    """Deduped per-proof verify with failure isolation.  Returns a
+    ``[k] bool`` array bit-equal to the exact per-proof path, or ``None``
+    when the dedup path declines (range gates / byte-confirmation
+    failure) and the caller must run the exact path on everything.
+
+    The happy path costs one upload + one fused dispatch + one 2-flag
+    readback.  On failure the per-proof/per-job masks are read back
+    (one more hop, ~kb + sum(sizes) bools), mapped to the suspect proofs
+    via the schedule's chain map, and ONLY the suspects re-verify
+    exactly — one tampered proof in a 50K batch costs the dedup pass
+    plus a tiny exact pass, not a full re-upload of all k proofs (the
+    reference's kernel is per-proof, merkle_tree_cuda.cu:67-118, and
+    never pays twice; this path now matches its failure economics).
+    Non-suspect proofs are sound to report as valid: every check on
+    their own chain passed, so the shared chain IS their recomputation."""
+    wire = _dedup_pack(positions, siblings, leaves_np, root_np, arity)
+    if wire is None:
         return None
-    sizes, kb, lu, packed_np = packed_sched
-    packed = jnp.asarray(packed_np)
+    k = positions.shape[0]
+    packed = jnp.asarray(wire.packed)
     # One fused dispatch on TPU; host-driven on CPU backends, where the
     # fused program's XLA:CPU compile is disproportionate (docs/PERF.md)
     # and the small per-level executables are shared.
@@ -836,30 +993,57 @@ def _verify_all_deduped(positions, siblings, leaves, root, arity):
         if jax.default_backend() in ("tpu", "axon")
         else _dedup_verify_levels
     )
-    flags = np.asarray(run(arity, sizes, kb, lu, packed))
-    return bool(flags[1]) if bool(flags[0]) else None
+    flags_dev, bad_dev = run(
+        arity, wire.sizes, wire.kb, wire.tb, wire.lm16, packed
+    )
+    flags = np.asarray(flags_dev)
+    if bool(flags[0]) and bool(flags[1]):
+        return np.ones(k, bool)
+    suspects, root_false = _suspect_mask(np.asarray(bad_dev), wire, k)
+    out = np.ones(k, bool)
+    out[root_false] = False
+    si = np.flatnonzero(suspects)
+    if len(si):
+        out[si] = np.asarray(
+            verify_proofs(
+                positions[si], siblings[si], leaves_np[si], root_np, arity
+            )
+        )
+    elif not root_false.any():
+        return None  # defensive: a tripped flag always marks something
+    return out
 
 
-def verify_all(
+def verify_each(
     positions, siblings, leaves, root, arity: int, dedupe: bool = None
-) -> bool:
-    """All-or-nothing batch verification — the reference's return convention
-    (merkle_tree_cuda.cu:464).  Batches large enough to share tree nodes
-    verify via the deduplicated schedule (see above); ``dedupe`` forces the
-    choice for tests/benchmarks."""
+) -> np.ndarray:
+    """Per-proof batch verification — the reference kernel's result
+    semantics (one bool per proof, merkle_tree_cuda.cu:67-118, before the
+    host's all_of).  Batches large enough to share tree nodes verify via
+    the deduplicated schedule with per-proof failure isolation; ``dedupe``
+    forces the choice for tests/benchmarks."""
     positions_np = np.asarray(positions, np.int32)
     siblings_np = np.asarray(siblings, np.uint32)
     k, h = positions_np.shape[:2]
     if dedupe is None:
         dedupe = k >= 64 and h >= 2
     if dedupe and h >= 1 and k >= 2:
-        res = _verify_all_deduped(
-            positions_np, siblings_np, np.asarray(leaves, np.uint32),
+        res = _dedup_results(
+            positions_np, siblings_np,
+            np.asarray(leaves, np.uint32),
             np.asarray(root, np.uint32), arity,
         )
         if res is not None:
             return res
-    return bool(jnp.all(verify_proofs(positions, siblings, leaves, root, arity)))
+    return np.asarray(verify_proofs(positions, siblings, leaves, root, arity))
+
+
+def verify_all(
+    positions, siblings, leaves, root, arity: int, dedupe: bool = None
+) -> bool:
+    """All-or-nothing batch verification — the reference's return convention
+    (merkle_tree_cuda.cu:464, all_of over the kernel's per-proof bools)."""
+    return bool(verify_each(positions, siblings, leaves, root, arity, dedupe).all())
 
 
 # ---------------------------------------------------------------------------

@@ -176,3 +176,102 @@ def merkle_root(leaves: Sequence[int], arity: int) -> int:
     o = _out(1)
     load().cuzk_merkle_root(_buf(list(leaves)), len(leaves), arity, o)
     return _read(o, 1)[0]
+
+
+# ---------------------------------------------------------------------------
+# Native exact-grouping scheduler (scheduler.cpp): the hot host primitives
+# of the dedup verify schedule — byte-exact row/triple partitioning via a
+# hash table that compares full contents on every probe (no trusted
+# hashes, no confirmation pass).  cuzk_tpu.merkle uses these when
+# available and falls back to the numpy bucket-and-confirm path otherwise.
+# ---------------------------------------------------------------------------
+
+_SCHED_SRC = os.path.join(_DIR, "scheduler.cpp")
+_SCHED_LIB = os.path.join(_BUILD_DIR, "libcuzkscheduler.so")
+
+_sched_lib = None
+
+
+def ensure_scheduler_built(force: bool = False) -> str:
+    """Compile the scheduler library if missing/stale; returns its path."""
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if (
+        force
+        or not os.path.exists(_SCHED_LIB)
+        or os.path.getmtime(_SCHED_LIB) < os.path.getmtime(_SCHED_SRC)
+    ):
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             _SCHED_SRC, "-o", _SCHED_LIB],
+            check=True,
+            capture_output=True,
+        )
+    return _SCHED_LIB
+
+
+def load_scheduler() -> ctypes.CDLL:
+    global _sched_lib
+    if _sched_lib is None:
+        lib = ctypes.CDLL(ensure_scheduler_built())
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64 = ctypes.c_int64
+        lib.cuzk_group_rows.argtypes = [u8p, i64, i64, i64, i32p, i32p]
+        lib.cuzk_group_rows.restype = i64
+        lib.cuzk_group_triples.argtypes = [i32p, i32p, i32p, i64, i32p, i32p]
+        lib.cuzk_group_triples.restype = i64
+        _sched_lib = lib
+    return _sched_lib
+
+
+def scheduler_available() -> bool:
+    try:
+        load_scheduler()
+        return True
+    except Exception:
+        return False
+
+
+def group_rows(rows):
+    """Exact byte-equality partition of ``rows`` (``[k, w]`` numpy array;
+    last axis contiguous, row width a multiple of 8 bytes — every proof
+    row shape satisfies both).  Returns ``(first, inv)`` int32 arrays:
+    first-occurrence row index per group, group id per row."""
+    import numpy as np
+
+    k = int(rows.shape[0])
+    wbytes = int(rows.shape[1]) * rows.itemsize
+    if rows.strides[1] != rows.itemsize or wbytes % 8 or rows.strides[0] <= 0:
+        raise ValueError("rows must have a contiguous 8-byte-multiple row")
+    first = np.empty(k, np.int32)
+    inv = np.empty(k, np.int32)
+    lib = load_scheduler()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u = lib.cuzk_group_rows(
+        ctypes.cast(rows.ctypes.data, u8p), k, int(rows.strides[0]), wbytes,
+        first.ctypes.data_as(i32p), inv.ctypes.data_as(i32p),
+    )
+    return first[:u].copy(), inv
+
+
+def group_triples(a, b, c):
+    """Exact partition of ``(a[i], b[i], c[i])`` int32 triples (the suffix
+    key: parent-suffix group, sibling-row group, position).  Same outputs
+    as :func:`group_rows`; no bit-width limits on the components."""
+    import numpy as np
+
+    a = np.ascontiguousarray(a, np.int32)
+    b = np.ascontiguousarray(b, np.int32)
+    c = np.ascontiguousarray(c, np.int32)
+    k = int(a.shape[0])
+    first = np.empty(k, np.int32)
+    inv = np.empty(k, np.int32)
+    lib = load_scheduler()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u = lib.cuzk_group_triples(
+        a.ctypes.data_as(i32p), b.ctypes.data_as(i32p),
+        c.ctypes.data_as(i32p), k,
+        first.ctypes.data_as(i32p), inv.ctypes.data_as(i32p),
+    )
+    return first[:u].copy(), inv

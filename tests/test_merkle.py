@@ -404,12 +404,28 @@ def _apply_delta_row(row_u32: np.ndarray, d0: int, d1: int) -> np.ndarray:
     return out
 
 
-def test_dedup_schedule_rejects_crafted_hash_collision():
-    """The row hash is linear, so collisions are craftable — the schedule
-    must byte-confirm buckets and abort (return None) instead of merging
-    distinct rows (advisor finding, round 2).  Both hashed row kinds are
-    attacked: level-0 CONTENT rows and upper-level sibling rows."""
+def test_dedup_schedule_rejects_crafted_hash_collision(monkeypatch):
+    """The numpy fallback's row hash is linear, so collisions are
+    craftable — that path must byte-confirm buckets and abort (return
+    None) instead of merging distinct rows (advisor finding, round 2).
+    The native grouper byte-compares on every probe, so the same inputs
+    must NOT decline there — the colliding rows simply stay distinct
+    groups.  Both hashed row kinds are attacked: level-0 CONTENT rows and
+    upper-level sibling rows."""
+    # Native path first: exact by construction, never declines on these.
     leaves = np.ones((2, 16), np.uint32)
+    if merkle._native_scheduler():
+        row_x = np.arange(16, dtype=np.uint32) & 0xFFFF
+        row_y = row_x.copy()
+        row_y[0] ^= 1
+        sched = merkle._dedup_schedule(
+            np.zeros((2, 1), np.int32),
+            np.stack([row_x, row_y]).reshape(2, 1, 1, 16),
+            leaves,
+        )
+        assert sched is not None and sched[4][1][0] == 2  # 2 content jobs
+
+    monkeypatch.setattr(merkle, "_native_sched", False)
 
     # (a) Level-0 content collision: arity 2, pos 0 puts the sibling at
     # content words 8..15, so the delta targets salt words 8/9.
@@ -466,7 +482,7 @@ def test_dedup_schedule_partition_matches_bruteforce():
 
     sched = merkle._dedup_schedule(positions, siblings, leaves)
     assert sched is not None
-    content_b, j0, upper, m1 = sched
+    content_b, j0, upper, m1, (keys, counts, parents) = sched
     sib_flat = siblings.reshape(k, h, -1)
 
     def part_eq(ref_labels, got_labels):
@@ -505,11 +521,19 @@ def test_dedup_schedule_partition_matches_bruteforce():
         ]
         if L == 1:
             assert part_eq(ref, m1)
+        # The isolation chain map must carry the same partition, and the
+        # actual (unbucketed) counts must match the true class counts.
+        assert part_eq(ref, keys[L])
+        n_true = len(set(ref))
+        assert counts[L] == n_true
         # Job counts must equal the true class counts at every level
         # (bucketed arrays pad with copies of job 0; count the distinct
         # entering states actually scheduled).
-        n_true = len(set(ref))
         assert upper[L - 1][1].shape[0] == merkle._job_bucket(n_true)
+    # Parent maps: each level-L job's parent is its members' level-L+1 job.
+    for ell, par in parents.items():
+        for i in range(k):
+            assert int(par[int(keys[ell][i])]) == int(keys[ell + 1][i])
 
     # Case (b): distinct TOP-level rows saturate the suffix partition at
     # L = h-1, so every lower level takes the identity early-exit; the
@@ -518,7 +542,7 @@ def test_dedup_schedule_partition_matches_bruteforce():
     siblings_b[:, h - 1, 0, 0] = np.arange(k, dtype=np.uint32) + 100
     sched_b = merkle._dedup_schedule(positions, siblings_b, leaves)
     assert sched_b is not None
-    _, _, upper_b, m1_b = sched_b
+    _, _, upper_b, m1_b, _iso_b = sched_b
     # All-singleton at every suffix level: k jobs (bucketed) per level,
     # and m1 is a bijection over proofs.
     for L in range(1, h):
@@ -646,20 +670,22 @@ def test_dedup_content_merges_leaf_groups():
     pos, sib = np.asarray(pos, np.int32), np.asarray(sib, np.uint32)
     proved = np.asarray(tree.levels[0])[idxs]
     root = np.asarray(tree.get_root_hash())
-    sizes, kb, _lu, _packed = merkle._dedup_pack(pos, sib, proved, root, arity)
-    assert sizes[0] == merkle._job_bucket(n // arity)  # 16 groups, not 64
+    wire = merkle._dedup_pack(pos, sib, proved, root, arity)
+    assert wire.sizes[0] == merkle._job_bucket(n // arity)  # 16 groups, not 64
     # Upper levels stay suffix-keyed: 64 proofs -> 16 L1 jobs, 4 L2 jobs.
-    assert sizes[1] == merkle._job_bucket(16)
-    assert sizes[2] == merkle._job_bucket(4)
+    assert wire.sizes[1] == merkle._job_bucket(16)
+    assert wire.sizes[2] == merkle._job_bucket(4)
     assert merkle.verify_all(pos, sib, proved, root, arity, dedupe=True)
 
 
-def test_dedup_compact_leaf_table():
-    """Duplicate-heavy batches (the reference's own 5K x 1024 benchmark
-    shape) must engage the COMPACT leaf-table layout (lu > 0), shrink the
-    packed upload, and still accept valid proofs while rejecting both a
-    tampered sibling and a tampered claimed leaf (the compact leaf-binding
-    check); distinct-leaf batches must stay dense (lu == 0)."""
+def test_dedup_value_table():
+    """The wire dedups every 256-bit value — claimed leaves, content
+    members, sibling nodes — into one byte-confirmed table (round 5).
+    For a duplicate-heavy batch (the reference's own 5K x 1024 benchmark
+    shape) the unique values are exactly the n leaves plus the internal
+    nodes, the upload shrinks far below the raw proofs, and verification
+    still accepts valid proofs while rejecting a tampered sibling and a
+    tampered claimed leaf (the index-compare leaf-binding check)."""
     arity, n = 4, 64
     xs = [rng.randrange(oracle.P) for _ in range(n)]
     leaves = leaves_arr(xs)
@@ -670,12 +696,12 @@ def test_dedup_compact_leaf_table():
     sib_np = np.asarray(sib, np.uint32)
     lv = np.asarray(leaves)[idx]
     root = np.asarray(tree.get_root_hash(), np.uint32)
-    sizes, kb, lu, packed = merkle._dedup_pack(pos_np, sib_np, lv, root, arity)
-    assert lu == merkle._job_bucket(n)  # 64 unique leaves, bucketed
-    hw = 8
-    dense_words = kb * hw
-    compact_words = lu * hw + kb
-    assert compact_words < dense_words  # it engaged because it shrinks
+    wire = merkle._dedup_pack(pos_np, sib_np, lv, root, arity)
+    # unique values = 64 leaves + 16 level-1 nodes + 4 level-2 nodes = 84
+    assert wire.tb == merkle._table_bucket(84)
+    assert wire.lm16  # table and level-1 job count both fit 16 bits
+    # the whole wire is far smaller than the raw proof tensors it encodes
+    assert wire.packed.nbytes < (sib_np.nbytes + lv.nbytes) // 4
     assert bool(merkle.verify_all(pos_np, sib_np, lv, root, arity, dedupe=True))
     bad_sib = sib_np.copy()
     bad_sib[5, 0, 0, 0] ^= 1
@@ -687,18 +713,50 @@ def test_dedup_compact_leaf_table():
     assert not bool(
         merkle.verify_all(pos_np, sib_np, bad_lv, root, arity, dedupe=True)
     )
-    # Distinct leaves at the same batch size: dense (compact would grow
-    # the buffer).
-    idx2 = np.arange(n)
-    pos2, sib2 = tree.generate_batch_proofs(idx2)
-    _s, _kb, lu2, _p = merkle._dedup_pack(
-        np.asarray(pos2, np.int32),
-        np.asarray(sib2, np.uint32),
-        np.asarray(leaves)[idx2],
-        root,
-        arity,
+
+
+def test_dedup_isolation_pins_failing_proof(monkeypatch):
+    """One tampered proof in a valid batch: verify_each must (a) equal the
+    exact per-proof path element-wise, (b) report exactly the tampered
+    index, and (c) re-verify only the tiny suspect subset — never the
+    whole batch (round-4 verdict item 4: the reference's kernel is
+    per-proof and never pays twice)."""
+    arity, n = 4, 64
+    xs = [rng.randrange(oracle.P) for _ in range(n)]
+    tree = merkle.NaryMerkleTree(leaves_arr(xs), merkle.MerkleConfig(arity))
+    idx = np.arange(256) % n
+    pos, sib = tree.generate_batch_proofs(idx)
+    pos_np = np.asarray(pos, np.int32)
+    sib_np = np.asarray(sib, np.uint32)
+    lv = np.asarray(tree.levels[0])[idx]
+    root = np.asarray(tree.get_root_hash(), np.uint32)
+    bad_lv = lv.copy()
+    bad_lv[17, 0] ^= 1
+
+    calls = []
+    real = merkle.verify_proofs
+
+    def spy(p, s, l, r, a):
+        calls.append(int(np.asarray(p).shape[0]))
+        return real(p, s, l, r, a)
+
+    monkeypatch.setattr(merkle, "verify_proofs", spy)
+    got = np.asarray(merkle.verify_each(pos_np, sib_np, bad_lv, root, arity, dedupe=True))
+    want = np.asarray(real(pos_np, sib_np, bad_lv, root, arity))
+    np.testing.assert_array_equal(got, want)
+    assert not got[17] and got.sum() == len(got) - 1
+    # the exact pass saw only the suspect subset, not the 256-proof batch
+    assert calls and max(calls) <= 8
+
+    # a wrong ROOT is decided by the dedup chain alone: check-clean
+    # chains' recomputations ARE the proofs' own, so no exact pass runs
+    calls.clear()
+    bad_root = root.copy()
+    bad_root[0] ^= 1
+    got = np.asarray(
+        merkle.verify_each(pos_np, sib_np, lv, bad_root, arity, dedupe=True)
     )
-    assert lu2 == 0
+    assert not got.any() and calls == []
 
 
 def test_dedup_fuzz_matches_exact_path():

@@ -68,3 +68,91 @@ def test_batch_and_random_hashes():
 def test_merkle_root_matches(arity, count):
     xs = rand_reduced(count)
     assert native.merkle_root(xs, arity) == oracle.merkle_root(xs, arity)
+
+
+# ---------------------------------------------------------------------------
+# Native exact-grouping scheduler (scheduler.cpp): must produce the exact
+# byte-equality partitions (checked against a brute-force dict) and drive
+# the dedup verify schedule to the same decisions as the numpy
+# bucket-and-confirm fallback.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def test_scheduler_builds():
+    assert native.scheduler_available()
+
+
+def test_group_rows_matches_bruteforce():
+    nprng = np.random.default_rng(7)
+    rows = nprng.integers(0, 3, (1000, 16), dtype=np.uint32)  # many dups
+    first, inv = native.group_rows(rows)
+    seen: dict = {}
+    ref = np.array([seen.setdefault(tuple(r), len(seen)) for r in rows])
+    # ids are first-occurrence ranks -> must EQUAL brute force exactly
+    assert np.array_equal(inv, ref)
+    for g in range(len(first)):
+        assert first[g] == int(np.flatnonzero(inv == g)[0])
+    # strided view rows (the per-level sibling slices are strided)
+    big = nprng.integers(0, 2, (500, 4, 24), dtype=np.uint32)
+    view = big[:, 2, :]
+    f2, i2 = native.group_rows(view)
+    seen = {}
+    ref2 = np.array([seen.setdefault(tuple(r), len(seen)) for r in view])
+    assert np.array_equal(i2, ref2)
+
+
+def test_group_triples_matches_bruteforce():
+    nprng = np.random.default_rng(9)
+    a = nprng.integers(0, 6, 2000).astype(np.int32)
+    b = nprng.integers(0, 6, 2000).astype(np.int32)
+    c = nprng.integers(0, 4, 2000).astype(np.int32)
+    first, inv = native.group_triples(a, b, c)
+    seen: dict = {}
+    ref = np.array(
+        [seen.setdefault((x, y, z), len(seen)) for x, y, z in zip(a, b, c)]
+    )
+    assert np.array_equal(inv, ref)
+    assert len(first) == len(seen)
+
+
+def test_dedup_schedule_native_equals_numpy_path(monkeypatch):
+    """The dedup verify must reach identical decisions (same job counts,
+    same wire size, same per-proof verdicts on honest AND tampered
+    batches) whether the groupings come from the native hash map or the
+    numpy bucket-and-confirm fallback."""
+    from cuzk_tpu import merkle
+
+    arity, n = 4, 64
+    xs = rand_reduced(n)
+    from cuzk_tpu.field import fr
+
+    leaves = np.array([fr.int_to_digits(x) for x in xs], np.uint32)
+    tree = merkle.NaryMerkleTree(leaves, merkle.MerkleConfig(arity))
+    idx = np.arange(300) % n
+    pos, sib = tree.generate_batch_proofs(idx)
+    pos = np.asarray(pos, np.int32)
+    sib = np.asarray(sib, np.uint32)
+    lv = np.asarray(tree.levels[0])[idx]
+    root = np.asarray(tree.get_root_hash(), np.uint32)
+    bad_lv = lv.copy()
+    bad_lv[11, 0] ^= 1
+
+    results = {}
+    for label, forced in (("native", None), ("numpy", False)):
+        monkeypatch.setattr(merkle, "_native_sched", forced)
+        wire = merkle._dedup_pack(pos, sib, lv, root, arity)
+        assert wire is not None
+        results[label] = (
+            wire.sizes, wire.tb, wire.packed.nbytes,
+            merkle.verify_each(pos, sib, lv, root, arity, dedupe=True),
+            merkle.verify_each(pos, sib, bad_lv, root, arity, dedupe=True),
+        )
+    assert results["native"][0] == results["numpy"][0]
+    assert results["native"][1] == results["numpy"][1]
+    assert results["native"][2] == results["numpy"][2]
+    np.testing.assert_array_equal(results["native"][3], results["numpy"][3])
+    np.testing.assert_array_equal(results["native"][4], results["numpy"][4])
+    assert results["native"][3].all()
+    assert not results["native"][4][11] and results["native"][4].sum() == 299
