@@ -262,6 +262,72 @@ def bench_poseidon(
     }
 
 
+def bench_poseidon_resident(
+    batch: int, total: int, mode: str = "pairs", samples: int = 3
+) -> Dict:
+    """Chip-capability row for one reference config: operands
+    device-resident and the batch loop ON DEVICE
+    (``ops.hash_*_pallas_loop``: a ``lax.fori_loop`` whose every iteration
+    feeds its output into the next input, so no iteration can be elided or
+    overlapped) — one dispatch + one readback for the whole config.  This
+    pins what the CHIP does at this batch granularity with zero
+    interconnect in the timed region; the per-iteration grid launch is
+    still paid per batch, exactly as a device-resident caller would pay
+    it.  The companion interconnect-bound number is ``bench_poseidon``'s
+    coalesced row (VERDICT r4 item 2: each config carries both)."""
+    import jax.numpy as jnp
+
+    from cuzk_tpu import ops, poseidon
+
+    iters = max(1, total // batch)
+    l = jnp.asarray(_rand_digits(batch, 42))
+    r = jnp.asarray(_rand_digits(batch, 43))
+
+    def loop(n):
+        return (
+            ops.hash_pair_pallas_loop(l, r, n)
+            if mode == "pairs"
+            else ops.hash_single_pallas_loop(l, n)
+        )
+
+    # Bit-exactness gate: two chained device iterations must equal two
+    # jnp-path applications (the loop IS repeated hashing, not an
+    # approximation of it).
+    want = (
+        poseidon.hash_pair(poseidon.hash_pair(l, r), r)
+        if mode == "pairs"
+        else poseidon.hash_single(poseidon.hash_single(l))
+    )
+    if not np.array_equal(np.asarray(loop(2)), np.asarray(want)):
+        raise SystemExit("device loop diverges from jnp path; aborting")
+
+    # SLOPE timing: each sample is one dispatch + one readback, and the
+    # readback rides a full tunnel round-trip (~3-33 ms) that would bury a
+    # short config.  Timing the loop at N and 2N device iterations and
+    # differencing cancels every constant term (hop, dispatch, readback) —
+    # what remains is pure per-batch device time.  N is at least 64 so the
+    # delta is well above hop jitter even for short configs.
+    n_slope = max(iters, 64)
+    st1 = time_fn_stats(lambda: loop(n_slope), iters=samples, warmup=1,
+                        groups=samples)
+    st2 = time_fn_stats(lambda: loop(2 * n_slope), iters=samples, warmup=1,
+                        groups=samples)
+    sec = max((st2["min_s"] - st1["min_s"]) / n_slope, 1e-9)  # per batch
+    key = f"poseidon_{mode}_hashes_per_s"
+    hps = batch / sec
+    return {
+        "suite": "poseidon_resident",
+        "mode": mode,
+        "batch": batch,
+        "total_hashes": iters * batch,
+        "device_loop_iters": iters,
+        "ns_per_hash": round(sec / batch * 1e9, 2),
+        "hashes_per_s": round(hps, 1),
+        "config_ms_incl_readback": round(st1["min_s"] * 1e3, 2),
+        "vs_baseline": round(hps / BASELINES[key], 4) if key in BASELINES else None,
+    }
+
+
 def bench_merkle_build(n_leaves: int, arity: int, iters: int = 3) -> Dict:
     import jax
     import jax.numpy as jnp
@@ -590,8 +656,11 @@ def bench_batch_verify_resident(
     flags = np.asarray(dispatch()[0])
     ok = bool(flags[0]) and bool(flags[1])
     # Pipelined: dispatches queue asynchronously; one tiny readback per
-    # group forces completion of that chunk (hop amortized over the chunk).
-    dev_st = time_fn_stats(dispatch, iters=iters, warmup=0)
+    # group forces completion of that chunk.  Each group runs the FULL
+    # ``iters`` dispatches so the tunnel hop amortizes to hop/iters within
+    # every sample (draining more often would re-add hop/group to the
+    # device-work estimate); three groups give the order statistics.
+    dev_st = time_fn_stats(dispatch, iters=3 * iters, warmup=1, groups=3)
     # Synchronous: flags read back each iteration (adds one tunnel hop).
     t0 = time.perf_counter()
     for _ in range(iters):

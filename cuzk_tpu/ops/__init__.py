@@ -14,6 +14,8 @@ from cuzk_tpu.ops.poseidon_pallas import (
     hash_single_pallas_packed,
     hash_pair_pallas_packed,
     hash_multiple_pallas_packed,
+    hash_single_pallas_loop,
+    hash_pair_pallas_loop,
     permutation_pallas,
     verify_proofs_pallas,
 )
@@ -26,6 +28,8 @@ __all__ = [
     "hash_single_pallas_packed",
     "hash_pair_pallas_packed",
     "hash_multiple_pallas_packed",
+    "hash_single_pallas_loop",
+    "hash_pair_pallas_loop",
     "permutation_pallas",
     "verify_proofs_pallas",
 ]

@@ -636,6 +636,69 @@ def hash_multiple_pallas(inputs: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Device-side batch loops — chip-capability benchmarking.  The reference's
+# Small/Medium-Scale configs (benchmark.cpp:213-235) loop many small
+# batches; over a tunneled backend every op submission costs ~0.3 ms of
+# runtime overhead regardless of batch size, which buries the chip's own
+# per-batch rate.  These run the loop ON DEVICE (lax.fori_loop, each
+# iteration's output feeding the next input, so no iteration can be elided
+# or overlapped) — one dispatch + one readback for the whole config, with
+# the per-iteration grid launch still paid per batch exactly as a
+# device-resident caller would pay it.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _pair_loop_chain(l, r, iters: int, scalars):
+    def body(_, cur):
+        return _sponge_chain(jnp.stack([cur, r], axis=1), scalars)
+
+    return jax.lax.fori_loop(0, iters, body, l)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _single_loop_chain(x, iters: int, scalars):
+    def body(_, cur):
+        return _sponge_chain(cur[:, None, :], scalars)
+
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
+def hash_pair_pallas_loop(left, right, iters: int) -> jnp.ndarray:
+    """``iters`` chained rounds of batched pair hashing on device:
+    ``state_{i+1} = hash_pair(state_i, right)``; returns the final state
+    (bit-equal to calling :func:`hash_pair_pallas` ``iters`` times)."""
+    l = jnp.asarray(left, jnp.uint32)
+    r = jnp.asarray(right, jnp.uint32)
+    if not _on_tpu():  # portable twin: host loop over the jnp path
+        for _ in range(iters):
+            l = poseidon_mod().hash_pair(l, r)
+        return l
+    b = l.shape[0]
+    bp, active = _bucket_batch(b)
+    if bp != b:
+        l = jnp.pad(l, ((0, bp - b), (0, 0)))
+        r = jnp.pad(r, ((0, bp - b), (0, 0)))
+    out = _pair_loop_chain(l, r, iters, _scalars(active, 2, oracle.DS_PAIR))
+    return out if bp == b else out[:b]
+
+
+def hash_single_pallas_loop(x, iters: int) -> jnp.ndarray:
+    """``iters`` chained rounds of batched single hashing on device."""
+    x = jnp.asarray(x, jnp.uint32)
+    if not _on_tpu():  # portable twin: host loop over the jnp path
+        for _ in range(iters):
+            x = poseidon_mod().hash_single(x)
+        return x
+    b = x.shape[0]
+    bp, active = _bucket_batch(b)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0)))
+    out = _single_loop_chain(x, iters, _scalars(active, 1, oracle.DS_SINGLE))
+    return out if bp == b else out[:b]
+
+
+# ---------------------------------------------------------------------------
 # Packed-wire variants: inputs arrive as [.., 8] uint32 (two 16-bit digits
 # per word, fr.pack16 — 32 B/element, half the raw digit bytes) and unpack
 # ON DEVICE inside the same single dispatch.  For host-resident operands on

@@ -161,6 +161,27 @@ def test_pallas_hash_multiple_vs_oracle(n):
     assert got == [oracle.hash_multiple(row) for row in rows]
 
 
+def test_pallas_loop_hash_matches_repeated_application():
+    """The device-side batch loop (chip-capability bench harness) is
+    repeated hashing, bit-exactly: loop(x, n) == hash^n(x)."""
+    from cuzk_tpu.ops import hash_pair_pallas_loop, hash_single_pallas_loop
+
+    ls, rs = fr.ints_to_array(rand_reduced(4)), fr.ints_to_array(rand_reduced(4))
+    got = fr.array_to_ints(hash_pair_pallas_loop(ls, rs, 3))
+    want = [oracle.hash_pair(
+        oracle.hash_pair(oracle.hash_pair(l, r), r), r)
+        for l, r in zip(rand_ints(ls), rand_ints(rs))]
+    assert got == want
+    got_s = fr.array_to_ints(hash_single_pallas_loop(ls, 2))
+    assert got_s == [
+        oracle.hash_single(oracle.hash_single(x)) for x in rand_ints(ls)
+    ]
+
+
+def rand_ints(arr):
+    return fr.array_to_ints(np.asarray(arr))
+
+
 def test_pallas_matches_jnp_path():
     """Cross-implementation gate (the reference's
     verify_cuda_implementations_match, poseidon_cuda_benchmarks.cpp:137-259)."""
