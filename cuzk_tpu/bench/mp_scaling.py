@@ -86,6 +86,17 @@ def worker(argv) -> None:
     leaves = rng.integers(
         0, 1 << 16, (leaves_per_device * d, fr.NDIGITS), dtype=np.uint32
     )
+    # The build pads the leaf count to the next power of arity
+    # (merkle_tree.cpp:50-63 semantics), so the HASHED work is m leaves,
+    # not the requested d * leaves_per_device: with arity 8 and 512
+    # leaves/device, d = 2 builds a 4096-leaf tree — 8x the requested
+    # work.  Throughput must count m or the mid-ladder rows are charged
+    # for work they did but not credited (exactly the round-4 artifact's
+    # mysterious d=2 -> 0.21 "efficiency": it was 2 t1/t2 with t2 a
+    # tree 8x bigger).
+    from cuzk_tpu import merkle
+
+    m = merkle.padded_leaf_count(leaves_per_device * d, arity)
 
     def build():
         _, replicated = distributed.sharded_build_levels(leaves, arity, mesh)
@@ -100,6 +111,70 @@ def worker(argv) -> None:
         root = build()
     sec = (time.perf_counter() - start) / iters
 
+    # ---- Per-stage decomposition (VERDICT r4 item 3): time each phase of
+    # the build alone so a row below the efficiency gate carries evidence
+    # of WHERE the loss is — collectives/coordination vs the substrate's
+    # compute scheduling.  Stages sum to ~build_ms by construction.
+
+    def timed(fn, warm: int = 1):
+        for _ in range(warm):
+            fn()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        return round((time.perf_counter() - t0) / iters * 1e3, 2)
+
+    stages = {}
+    # Pure coordination floor: one tiny cross-device all_gather + readback
+    # (d x 64 B — bandwidth-free, measures the collective transport and
+    # any cross-process rendezvous cost per collective).
+    gat = distributed._gather_fn(mesh, distributed.DATA_AXIS)
+    tiny = distributed.shard_batch(np.zeros((d, fr.NDIGITS), np.uint32), mesh)
+    stages["barrier_ms"] = timed(
+        lambda: np.asarray(gat(tiny).addressable_data(0)[0, 0])
+    )
+    # Host->devices staging of the PADDED leaves (device_put with the
+    # sharding) — the same array the build stages consume below.
+    if m > leaves.shape[0]:
+        e = np.array(merkle._empty_hash_digits(arity), np.uint32)
+        leaves = np.concatenate(
+            [leaves, np.broadcast_to(e, (m - leaves.shape[0], fr.NDIGITS))]
+        )
+    stages["shard_ms"] = timed(
+        lambda: np.asarray(
+            distributed.shard_batch(leaves, mesh).addressable_data(0)[0, 0]
+        )
+    )
+    leaves_sh = distributed.shard_batch(leaves, mesh)
+    level_fn = distributed._local_level_fn(mesh, distributed.DATA_AXIS, arity)
+
+    def local_levels():
+        local_m, level = m // d, leaves_sh
+        while local_m > 1 and local_m % arity == 0:
+            level = level_fn(level)
+            local_m //= arity
+        return level
+
+    stages["local_levels_ms"] = timed(
+        lambda: np.asarray(local_levels().addressable_data(0)[0, 0])
+    )
+    last_sharded = local_levels()
+    # The real (d * tail bytes) gather of the collapsed level.
+    stages["gather_ms"] = timed(
+        lambda: np.asarray(gat(last_sharded).addressable_data(0)[0, 0])
+    )
+    gathered = gat(last_sharded)
+
+    def tail():
+        g = gathered
+        while g.shape[0] > 1:
+            g = merkle._engine_hash_multiple(
+                g.reshape(g.shape[0] // arity, arity, fr.NDIGITS)
+            )
+        return np.asarray(g.addressable_data(0)[0, 0])
+
+    stages["replicated_tail_ms"] = timed(tail)
+
     if pid == 0:
         print(
             "RESULT "
@@ -110,9 +185,12 @@ def worker(argv) -> None:
                     "devices_per_process": ldc,
                     "devices": d,
                     "leaves": leaves_per_device * d,
+                    "padded_leaves": m,
                     "arity": arity,
                     "build_ms": round(sec * 1e3, 2),
-                    "leaves_per_s": round(leaves_per_device * d / sec, 1),
+                    # Throughput counts the PADDED (actually hashed) tree.
+                    "leaves_per_s": round(m / sec, 1),
+                    "stages": stages,
                     "root0": int(root[0]),
                 }
             ),
@@ -198,6 +276,12 @@ def main() -> None:
     ap.add_argument("--devices-per-proc", type=int, default=2)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument(
+        "--configs", nargs="+", default=None, metavar="PROCSxDEV",
+        help="explicit '<procs>x<devices_per_proc>' pairs (e.g. 2x1 4x2); "
+        "overrides --procs/--devices-per-proc (the (1,1) baseline is "
+        "always prepended)",
+    )
+    ap.add_argument(
         "--out", default=None,
         help="write the JSON artifact to this path (overwrites)",
     )
@@ -205,8 +289,21 @@ def main() -> None:
 
     rows = []
     base_tps = None
-    # Single-process single-device reference point first: throughput(1).
-    configs = [(1, 1)] + [(p, args.devices_per_proc) for p in args.procs]
+    # Single-process single-device reference point first: throughput(1);
+    # then the 1-device-per-process ladder (pure cross-process collectives,
+    # no intra-process virtual-device scheduling confound — VERDICT r4
+    # item 3); then the multi-device-per-process rows.
+    if args.configs:
+        configs = [(1, 1)] + [
+            tuple(int(v) for v in c.split("x")) for c in args.configs
+        ]
+    else:
+        configs = (
+            [(1, 1)]
+            + [(p, 1) for p in args.procs if p > 1]
+            + [(p, args.devices_per_proc) for p in args.procs
+               if args.devices_per_proc > 1]
+        )
     seen = set()
     for nproc, ldc in configs:
         if (nproc, ldc) in seen:
@@ -230,9 +327,9 @@ def main() -> None:
         artifact = {
             "date": time.strftime("%Y-%m-%d"),
             "substrate": (
-                f"{os.cpu_count()}-core host; N OS processes x "
-                f"{args.devices_per_proc} CPU devices via jax.distributed "
-                "(cross-process collectives on the d>=2 rows)"
+                f"{os.cpu_count()}-core host; jax.distributed OS "
+                "processes (per-row devices_per_process; cross-process "
+                "collectives on rows with processes >= 2)"
             ),
             "leaves_per_device": args.leaves_per_device,
             "arity": args.arity,

@@ -4,7 +4,12 @@
 set -e
 MODE="${1:-quick}"
 case "$MODE" in
-  quick)    python bench.py ;;
+  quick)    python bench.py
+            # Refresh the on-hardware verification artifact every quick
+            # bench session (quick tier — the stress tier stays behind
+            # `verify`): any round that touches a kernel re-proves
+            # bit-exactness instead of relying on a manual run.
+            python -m cuzk_tpu.bench.run --suite verify ;;
   full)     python -m cuzk_tpu.bench.run --suite all ;;
   poseidon) python -m cuzk_tpu.bench.run --suite poseidon ;;
   merkle)   python -m cuzk_tpu.bench.run --suite merkle
