@@ -705,6 +705,68 @@ def bench_batch_verify_resident(
     return out
 
 
+def bench_batch_verify_tampered(
+    n_proofs: int, n_leaves: int, arity: int, iters: int = 5
+) -> Dict:
+    """Failure-isolation economics (VERDICT r4 item 4): ONE tampered proof
+    in an otherwise valid batch.  Before round 5 this was the dedup
+    path's worst case — the dedup pass PLUS a full per-proof recompute of
+    all k proofs (round 3 measured 214.8 ms at 50K); the isolation path
+    maps the failed checks to the suspect proofs and re-verifies only
+    those, so the adversarial case costs ~the honest case.  The row also
+    records the full exact-path time for comparison and pins WHICH proof
+    was reported invalid."""
+    import jax.numpy as jnp
+
+    from cuzk_tpu import merkle
+
+    leaves = jnp.asarray(_rand_digits(n_leaves, 13))
+    tree = merkle.NaryMerkleTree(leaves, merkle.MerkleConfig(arity))
+    idx = np.arange(n_proofs) % n_leaves
+    pos, sib = tree.generate_batch_proofs(idx)
+    pos = np.asarray(pos, np.int32)
+    sib = np.asarray(sib, np.uint32)
+    proved = np.asarray(tree.levels[0][jnp.asarray(idx)], np.uint32)
+    root = np.asarray(tree.get_root_hash(), np.uint32)
+    bad = proved.copy()
+    tampered = n_proofs // 2
+    bad[tampered, 0] ^= 1
+
+    res = merkle.verify_each(pos, sib, bad, root, arity, dedupe=True)
+    flagged = np.flatnonzero(~res)
+    want = np.asarray(merkle.verify_proofs(pos, sib, bad, root, arity))
+    if not np.array_equal(res, want):
+        raise SystemExit("isolated verdicts diverge from exact path; aborting")
+
+    def isolated():
+        return merkle.verify_each(pos, sib, bad, root, arity, dedupe=True)
+
+    def exact():
+        return np.asarray(merkle.verify_proofs(pos, sib, bad, root, arity))
+
+    st_iso = time_fn_stats(isolated, iters=iters, warmup=1, groups=iters)
+    st_ex = time_fn_stats(exact, iters=iters, warmup=1, groups=iters)
+    honest = time_fn_stats(
+        lambda: merkle.verify_each(pos, sib, proved, root, arity, dedupe=True),
+        iters=iters, warmup=1, groups=iters,
+    )
+    return {
+        "suite": "batch_verify_tampered",
+        "proofs": n_proofs,
+        "leaves": n_leaves,
+        "arity": arity,
+        "tampered_index": tampered,
+        "flagged": [int(i) for i in flagged[:8]],
+        "isolated_ms": round(st_iso["mean_s"] * 1e3, 2),
+        "isolated_ms_min": round(st_iso["min_s"] * 1e3, 2),
+        "honest_ms": round(honest["mean_s"] * 1e3, 2),
+        "full_exact_ms": round(st_ex["mean_s"] * 1e3, 2),
+        "isolated_vs_exact_speedup": round(
+            st_ex["mean_s"] / st_iso["mean_s"], 2
+        ),
+    }
+
+
 def bench_merkle_sweep(
     arities=range(2, 9), sizes=(64, 256, 1024, 4096), proofs: int = 256
 ) -> List[Dict]:
@@ -1092,7 +1154,8 @@ def main() -> None:
     )
     pipe.add_argument(
         "--sync", action="store_true",
-        help="poseidon suite: force synchronous per-call dispatches",
+        help="poseidon suite: chip-capability rows — device-resident "
+        "operands, batch loop on device, slope-timed (hop-free)",
     )
     parser.add_argument(
         "--no-dedupe",
@@ -1104,6 +1167,12 @@ def main() -> None:
         action="store_true",
         help="proofs suite: also run the phase-decomposed resident benchmark"
         " (schedule/upload/device phases timed separately)",
+    )
+    parser.add_argument(
+        "--tampered",
+        action="store_true",
+        help="proofs suite: also run the failure-isolation benchmark"
+        " (one tampered proof in an otherwise valid batch)",
     )
     args = parser.parse_args()
 
@@ -1135,7 +1204,12 @@ def main() -> None:
         pipeline = True if args.pipeline else (False if args.sync else None)
         for batch, total, label in configs:
             for mode in modes:
-                res = bench_poseidon(batch, total, mode, args.path, pipeline)
+                if args.sync:
+                    # Chip-capability row: device-resident operands, batch
+                    # loop on device, slope-timed (hop-free).
+                    res = bench_poseidon_resident(batch, total, mode)
+                else:
+                    res = bench_poseidon(batch, total, mode, args.path, pipeline)
                 res["label"] = label
                 results.append(res)
                 print(json.dumps(res))
@@ -1157,6 +1231,12 @@ def main() -> None:
         print(json.dumps(res))
         if args.device_resident:
             res = bench_batch_verify_resident(
+                args.proofs, args.leaves, args.arity
+            )
+            results.append(res)
+            print(json.dumps(res))
+        if args.tampered:
+            res = bench_batch_verify_tampered(
                 args.proofs, args.leaves, args.arity
             )
             results.append(res)

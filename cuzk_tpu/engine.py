@@ -217,6 +217,10 @@ class CoalescingPoseidonEngine(PoseidonEngine):
         # queue key -> list of (host_arrays..., DeferredHashes)
         self._queues: dict = {}
         self._pending = 0
+        #: Last exception swallowed by a threshold flush (None when the
+        #: last flush succeeded) — so a persistent backend failure is
+        #: observable without waiting for an explicit flush()/get().
+        self.last_flush_error: "BaseException | None" = None
 
     # -- async surface ----------------------------------------------------
     def _enqueue(self, key, arrays) -> DeferredHashes:
@@ -233,11 +237,22 @@ class CoalescingPoseidonEngine(PoseidonEngine):
             # would lose the caller's handle before they ever receive it
             # (the queue keeps the work, but nobody could get() it).
             # flush() restored the queue, so a persistent failure
-            # surfaces at the caller's explicit flush()/get() instead.
+            # surfaces at the caller's explicit flush()/get() instead —
+            # but never silently: it is logged once and kept on
+            # ``last_flush_error`` (round-4 advisor: a bug in the packed
+            # path must not be indistinguishable from tunnel weather).
             try:
                 self.flush()
-            except Exception:
-                pass
+            except Exception as e:  # noqa: BLE001 — deferred, see above
+                if self.last_flush_error is None:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "deferred threshold-flush failure (queue kept; "
+                        "will surface at the next explicit flush/get): %r",
+                        e,
+                    )
+                self.last_flush_error = e
         return d
 
     def async_hash_single(self, x) -> DeferredHashes:
@@ -288,6 +303,7 @@ class CoalescingPoseidonEngine(PoseidonEngine):
             except BaseException:
                 self._queues[key] = calls  # keep the work; get() can retry
                 raise
+            self.last_flush_error = None
             self._pending -= n_elems
             off = 0
             for arrs0, d in zip(cols[0], deferreds):

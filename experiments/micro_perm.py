@@ -50,6 +50,60 @@ def kernel_real(rc_ref, in_ref, out_ref):
             out_ref[i] = s[i]
 
 
+def _permute_dual(sa, sb, rc):
+    """Two independent states through the 64 rounds with the PARTIAL phase
+    interleaved (VERDICT r4 item 5): the 56 partial rounds are a single
+    power5 dependency chain per state at tile 8, so issuing two states'
+    chains side by side can fill any latency stalls — IF the ~2x state
+    working set does not spill (tile 16 spilled 3.3x; here the full
+    rounds run sequentially per state to cap peak pressure, and the MDS
+    layers alternate so only one state's temporaries are live at once)."""
+
+    def rc_row(r, i):
+        return [rc[r, i, d] for d in range(16)]
+
+    sa = tuple(fs.rc_add(sa[i], rc_row(0, i)) for i in range(3))
+    sb = tuple(fs.rc_add(sb[i], rc_row(0, i)) for i in range(3))
+
+    def full_body(r, st):
+        sa, sb = st
+        nxt = [rc_row(r + 1, i) for i in range(3)]
+        sa = tuple(fs.mds_rc_fused([fs.power5(x) for x in sa], nxt))
+        sb = tuple(fs.mds_rc_fused([fs.power5(x) for x in sb], nxt))
+        return sa, sb
+
+    def partial_body(r, st):
+        sa, sb = st
+        nxt = [rc_row(r + 1, i) for i in range(3)]
+        # The two power5 chains are independent — the scheduler may
+        # interleave them; MDS layers stay sequential per state.
+        a0 = fs.power5(sa[0])
+        b0 = fs.power5(sb[0])
+        sa = tuple(fs.mds_rc_fused([a0, sa[1], sa[2]], nxt))
+        sb = tuple(fs.mds_rc_fused([b0, sb[1], sb[2]], nxt))
+        return sa, sb
+
+    st = (sa, sb)
+    st = jax.lax.fori_loop(0, 4, full_body, st)
+    st = jax.lax.fori_loop(4, 60, partial_body, st)
+    st = jax.lax.fori_loop(60, 63, full_body, st)
+    sa, sb = st
+    sa = fs.mds_rc_fused([fs.power5(x) for x in sa], None)
+    sb = fs.mds_rc_fused([fs.power5(x) for x in sb], None)
+    return sa, sb
+
+
+def kernel_dual(rc_ref, in_ref, out_ref):
+    with fs.const_cache((ROWS, LANES)):
+        sa = [in_ref[i, :, :ROWS] for i in range(3)]
+        sb = [in_ref[i, :, ROWS:] for i in range(3)]
+        for _ in range(REPEAT):
+            sa, sb = _permute_dual(sa, sb, rc_ref)
+        for i in range(3):
+            out_ref[i, :, :ROWS] = sa[i]
+            out_ref[i, :, ROWS:] = sb[i]
+
+
 def kernel_unrolled(in_ref, out_ref):
     with fs.const_cache(out_ref.shape[-2:]):
         s = [in_ref[i] for i in range(3)]
@@ -72,6 +126,20 @@ def run(which):
                     grid=(TILES,),
                     in_specs=[pl.BlockSpec((3, 16, ROWS, LANES), lambda r, *_: (0, 0, r, 0), memory_space=pltpu.VMEM)],
                     out_specs=pl.BlockSpec((3, 16, ROWS, LANES), lambda r, *_: (0, 0, r, 0), memory_space=pltpu.VMEM),
+                ),
+                out_shape=jax.ShapeDtypeStruct((3, 16, rows, LANES), jnp.uint32),
+            )(jnp.asarray(pp.RC_TABLE), v)
+        )
+    elif which == "dual":
+        assert TILES % 2 == 0
+        fn = jax.jit(
+            lambda v: pl.pallas_call(
+                kernel_dual,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(TILES // 2,),
+                    in_specs=[pl.BlockSpec((3, 16, 2 * ROWS, LANES), lambda r, *_: (0, 0, r, 0), memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec((3, 16, 2 * ROWS, LANES), lambda r, *_: (0, 0, r, 0), memory_space=pltpu.VMEM),
                 ),
                 out_shape=jax.ShapeDtypeStruct((3, 16, rows, LANES), jnp.uint32),
             )(jnp.asarray(pp.RC_TABLE), v)

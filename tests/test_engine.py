@@ -212,12 +212,15 @@ def test_coalescing_threshold_flush_failure_is_deferred():
     receiving it); it surfaces at an explicit flush()/get() instead."""
     flaky = _FlakyEngine()
     ce = engine.CoalescingPoseidonEngine(inner=flaky, flush_elems=2)
-    x = _digits(3)  # crosses the threshold -> inline flush fails silently
+    x = _digits(3)  # crosses the threshold -> inline flush fails deferred
     d = ce.async_hash_single(x)
     assert ce._queues  # work retained
+    # ... but never silently: the deferral is observable (round-4 advisor).
+    assert isinstance(ce.last_flush_error, RuntimeError)
     got = np.asarray(d.get())  # retry on get() succeeds
     want = np.asarray(engine.JnpPoseidonEngine().batch_hash_single(x))
     np.testing.assert_array_equal(got, want)
+    assert ce.last_flush_error is None  # cleared by the successful flush
 
 
 def test_coalescing_stats_and_empty_flush():
