@@ -640,9 +640,17 @@ def bench_batch_verify_resident(
     sched_st = time_fn_stats(pack, iters=iters, warmup=0, groups=iters)
 
     # Phase 2: upload (H2D of the single packed buffer).  jax.device_put
-    # creates a fresh buffer each call; warm-up outside the timer.
+    # creates a fresh buffer each call; warm-up outside the timer.  Two
+    # deep groups, matching the device phase's treatment: the per-group
+    # drain rides a full tunnel round-trip, and with shallow groups that
+    # RTT/4 leaks into the per-upload figure (measured: the 102 KB
+    # transfer itself is ~1-2 ms; a 4-transfer group read 7.3 ms).  In
+    # the real verify flow the upload is part of one
+    # schedule->upload->dispatch->flags chain with a single RTT at the
+    # end, so the amortized figure is the honest per-upload cost.
     up_st = time_fn_stats(
-        lambda: jax.device_put(packed_np), iters=iters, warmup=1
+        lambda: jax.device_put(packed_np), iters=4 * iters, warmup=1,
+        groups=2,
     )
 
     # Phase 3: device-resident fused verify.
