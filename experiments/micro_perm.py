@@ -6,6 +6,11 @@ Isolates the cost of (a) traced SMEM RC reads inside fori_loop phases vs
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
+
+from cuzk_tpu.utils.compilecache import enable_compile_cache
+
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -116,7 +121,13 @@ def kernel_unrolled(in_ref, out_ref):
 def run(which):
     rng = np.random.default_rng(3)
     rows = ROWS * TILES
-    x = jnp.asarray(rng.integers(0, 1 << 16, (3, 16, rows, LANES), np.uint32))
+    x_h = rng.integers(0, 1 << 16, (3, 16, rows, LANES), np.uint32)
+    # REDUCED inputs (< 2^240 < p): _permute's round-0 fast-path rc_add
+    # assumes reduced state (the sponge always feeds it reduced values);
+    # arbitrary 256-bit inputs belong to the full_round0_add=True public
+    # permutation path, not this micro-benchmark.
+    x_h[:, 15] = 0
+    x = jnp.asarray(x_h)
     if which == "real":
         fn = jax.jit(
             lambda v: pl.pallas_call(
